@@ -1,0 +1,68 @@
+"""Checksum kernels vs CPython zlib ground truth.
+
+Mirrors the reference's bench_checksums.nim targets and the crc/adler tests
+implied by gzip/zlib trailer verification (reference gzip.nim:80-88,
+zippy.nim:154-162).
+"""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from zippy_tpu.ops import checksums as ck
+
+
+LENGTHS = [0, 1, 2, 3, 4, 5, 7, 8, 63, 64, 255, 1023, 1024, 1025,
+           4096, 65521, 100_000, 1 << 20]
+
+
+@pytest.mark.parametrize("n", LENGTHS)
+def test_adler32_device_random(n):
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    assert ck.adler32_device(data) == zlib.adler32(data)
+
+
+@pytest.mark.parametrize("n", LENGTHS)
+def test_crc32_device_random(n):
+    rng = np.random.default_rng(n + 1)
+    data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    assert ck.crc32_device(data) == zlib.crc32(data)
+
+
+def test_checksums_on_corpus(corpus_dir):
+    for name in ["alice29.txt", "geo.protodata", "paper-100k.pdf"]:
+        data = (corpus_dir / name).read_bytes()
+        assert ck.crc32_device(data) == zlib.crc32(data)
+        assert ck.adler32_device(data) == zlib.adler32(data)
+
+
+def test_all_byte_values():
+    data = bytes(range(256)) * 17
+    assert ck.crc32_device(data) == zlib.crc32(data)
+    assert ck.adler32_device(data) == zlib.adler32(data)
+
+
+def test_adler_worst_case_ff():
+    # All-0xFF input maximizes the deferred sums (overflow check).
+    data = b"\xff" * (1 << 20)
+    assert ck.adler32_device(data) == zlib.adler32(data)
+
+
+def test_crc32_combine():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, 333, dtype=np.uint8).tobytes()
+    got = ck.crc32_combine(zlib.crc32(a), zlib.crc32(b), len(b))
+    assert got == zlib.crc32(a + b)
+    assert ck.crc32_combine(zlib.crc32(a), zlib.crc32(b""), 0) == zlib.crc32(a)
+
+
+def test_adler32_combine():
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, 70000, dtype=np.uint8).tobytes()
+    got = ck.adler32_combine(zlib.adler32(a), zlib.adler32(b), len(b))
+    assert got == zlib.adler32(a + b)

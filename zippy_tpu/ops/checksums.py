@@ -1,0 +1,262 @@
+"""TPU-native checksums: crc32 and adler32 as parallel reductions.
+
+Reference behavior: /root/reference/src/zippy/crc.nim, adler32.nim and the
+SIMD kernels in crc32_simd.nim / adler32_simd.nim. Those are serial/SIMD CPU
+loops; here both checksums are recast as data-parallel reductions that XLA
+maps onto the TPU VPU:
+
+* adler32 — (s1, s2) is a segmented weighted prefix reduction. Each chunk
+  contributes (S, W) = (sum d_i, sum (L-i) d_i); chunks combine associatively
+  with W_AB = W_A + len_B * S_A + W_B. All math stays in uint32 lanes with
+  deferred modulo (the vector analogue of zlib's NMAX trick,
+  reference adler32.nim:22-63).
+
+* crc32 — CRC is GF(2)-linear: the register after message M with init I is
+  shift8^n(I) XOR raw(M), raw(M) = XOR_i shift8^{n-1-i}(T0[d_i]). We gather
+  per-word raw CRCs through four 256-entry LUTs (slice-by-4 in parallel across
+  ALL words at once), then combine pairs in a log-depth tree using
+  precomputed GF(2) shift matrices — the same algebra as the PCLMULQDQ
+  folding in the reference's crc32_simd.nim:39-144, expressed as vector ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ADLER_MOD = 65521
+CRC32_POLY = 0xEDB88320  # reflected polynomial
+
+# ---------------------------------------------------------------------------
+# Host-side GF(2) linear algebra (32x32 matrices as 32 uint32 columns)
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _crc_byte_table() -> np.ndarray:
+    """T0[b] = CRC register after one byte b with init 0 (standard table)."""
+    table = np.zeros(256, dtype=np.uint64)
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = (c >> 1) ^ (CRC32_POLY if (c & 1) else 0)
+        table[b] = c
+    return table.astype(np.uint32)
+
+
+def gf2_matvec(mat: np.ndarray, vec: int) -> int:
+    """Apply 32x32 GF(2) matrix (columns as uint32) to a 32-bit vector."""
+    out = 0
+    v = int(vec)
+    for j in range(32):
+        if (v >> j) & 1:
+            out ^= int(mat[j])
+    return out
+
+
+def gf2_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.array([gf2_matvec(a, int(col)) for col in b], dtype=np.uint32)
+
+
+@functools.cache
+def _shift8_matrix() -> bytes:
+    """Matrix for one-byte CRC register advance: c -> (c>>8) ^ T0[c & 0xFF]."""
+    t0 = _crc_byte_table()
+    cols = np.zeros(32, dtype=np.uint32)
+    for j in range(32):
+        e = np.uint32(1 << j)
+        cols[j] = (e >> np.uint32(8)) ^ t0[int(e) & 0xFF]
+    return cols.tobytes()
+
+
+@functools.cache
+def _shift_matrix_pow(k: int) -> bytes:
+    """shift8^(2^k) as a GF(2) matrix (advance register by 2^k bytes)."""
+    if k == 0:
+        return _shift8_matrix()
+    m = np.frombuffer(_shift_matrix_pow(k - 1), dtype=np.uint32)
+    return gf2_matmul(m, m).tobytes()
+
+
+def crc_shift_register(value: int, nbytes: int) -> int:
+    """Advance a CRC register by nbytes of (implicit) processing: shift8^n."""
+    v = int(value)
+    k = 0
+    n = int(nbytes)
+    while n:
+        if n & 1:
+            v = gf2_matvec(np.frombuffer(_shift_matrix_pow(k), dtype=np.uint32), v)
+        n >>= 1
+        k += 1
+    return v
+
+
+def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
+    """crc32(A || B) from crc32(A), crc32(B), len(B).
+
+    Used by the block-parallel gather (multi-chip compress concatenates
+    per-block payloads; the whole-payload gzip CRC is combined, not re-scanned).
+    Identity: with standard init/xorout, crc(A||B) = shift(crc(A)^FFFF, len2)
+    ^ shift(FFFF, len2) ^ crc(B) ... which simplifies to the zlib form below.
+    """
+    if len2 == 0:
+        return crc1 & 0xFFFFFFFF
+    # Register after A||B = shift^len2(reg_A) ^ raw(B).
+    # crc1 = reg_A ^ FFFFFFFF ; crc2 = shift^len2(FFFFFFFF) ^ raw(B) ^ FFFFFFFF
+    # => crc(A||B) = shift^len2(reg_A) ^ raw(B) ^ FFFFFFFF
+    #              = shift^len2(crc1 ^ FFFFFFFF) ^ crc2 ^ shift^len2(FFFFFFFF)
+    #              = shift^len2(crc1) ^ crc2        (linearity cancels init)
+    return (crc_shift_register(crc1, len2) ^ crc2) & 0xFFFFFFFF
+
+
+def adler32_combine(adler1: int, adler2: int, len2: int) -> int:
+    """adler32(A || B) from the two part checksums (zlib adler32_combine)."""
+    m = ADLER_MOD
+    rem = len2 % m
+    s1a, s2a = adler1 & 0xFFFF, (adler1 >> 16) & 0xFFFF
+    s1b, s2b = adler2 & 0xFFFF, (adler2 >> 16) & 0xFFFF
+    s1 = (s1a + s1b - 1) % m
+    s2 = (s2a + s2b + rem * (s1a - 1)) % m  # s2b already counts len2 * 1 init
+    return ((s2 << 16) | s1) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+_ADLER_CHUNK = 1024  # 255 * 1024 * 1025 / 2 < 2^32: uint32-safe weighted sums
+
+
+def _mod_sum(x: jnp.ndarray, m: int = ADLER_MOD) -> jnp.ndarray:
+    """Sum an array of residues (< m) with interleaved mods, uint32-safe."""
+    x = x.reshape(-1)
+    while x.shape[0] > 1:
+        width = min(x.shape[0], 4096)  # 4096 * 65520 < 2^32
+        rows = -(-x.shape[0] // width)
+        x = jnp.pad(x, (0, rows * width - x.shape[0]))
+        x = jnp.sum(x.reshape(rows, width), axis=1) % jnp.uint32(m)
+    return x[0]
+
+
+@jax.jit
+def _adler32_padded(data: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """adler32 of data[:n]; data is zero-padded to a multiple of _ADLER_CHUNK."""
+    m = jnp.uint32(ADLER_MOD)
+    d = data.reshape(-1, _ADLER_CHUNK).astype(jnp.uint32)
+    nchunks = d.shape[0]
+    # Per-chunk plain and weighted sums (weights L..1, last byte weight 1).
+    w = (jnp.uint32(_ADLER_CHUNK) - jnp.arange(_ADLER_CHUNK, dtype=jnp.uint32))
+    s_c = jnp.sum(d, axis=1) % m
+    w_c = jnp.sum(d * w[None, :], axis=1) % m
+    # Chunk c is followed by (nchunks-1-c)*CHUNK padded bytes.
+    off = ((nchunks - 1 - jnp.arange(nchunks, dtype=jnp.uint32))
+           * jnp.uint32(_ADLER_CHUNK)) % m
+    terms = (w_c + (off * s_c) % m) % m
+    w_padded = _mod_sum(terms)
+    s_total = _mod_sum(s_c)
+    # Zero padding sits at the END: every real byte's weight is inflated by
+    # pad, so W_real = W_padded - pad * S  (mod m).
+    pad = (jnp.uint32(data.shape[0]) - n.astype(jnp.uint32)) % m
+    w_real = (w_padded + (m - (pad * s_total) % m)) % m
+    s1 = (jnp.uint32(1) + s_total) % m
+    s2 = (n.astype(jnp.uint32) % m + w_real) % m
+    return (s2 << jnp.uint32(16)) | s1
+
+
+def adler32_device(data) -> int:
+    """Adler-32 computed on the accelerator. Accepts bytes or uint8 array."""
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    n = arr.shape[0]
+    if n == 0:
+        return 1
+    padded = _bucket_pad(arr, _ADLER_CHUNK)
+    return int(_adler32_padded(jnp.asarray(padded), jnp.uint32(n)))
+
+
+@functools.cache
+def _crc_word_tables() -> np.ndarray:
+    """Tk[b] = raw CRC of byte b followed by k zero bytes, k = 0..3.
+
+    Lets us fold each aligned 4-byte word to its raw CRC with four gathers:
+    raw(word) = T3[b0] ^ T2[b1] ^ T1[b2] ^ T0[b3].
+    """
+    t0 = _crc_byte_table()
+    shift8 = np.frombuffer(_shift8_matrix(), dtype=np.uint32)
+    tabs = [t0]
+    for _ in range(3):
+        prev = tabs[-1]
+        tabs.append(np.array([gf2_matvec(shift8, int(v)) for v in prev],
+                             dtype=np.uint32))
+    return np.stack(tabs)  # (4, 256)
+
+
+@functools.cache
+def _tree_matrices(max_levels: int = 28) -> np.ndarray:
+    """Level-k pair combine uses shift by 4*2^k bytes (word-level tree)."""
+    mats = []
+    # word shift = shift8^4
+    m = np.frombuffer(_shift_matrix_pow(1), dtype=np.uint32)  # 2 bytes
+    m = gf2_matmul(m, m)  # 4 bytes
+    for _ in range(max_levels):
+        mats.append(m)
+        m = gf2_matmul(m, m)
+    return np.stack(mats)  # (levels, 32)
+
+
+def _gf2_matvec_device(cols: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized GF(2) matrix-apply: cols (32,) uint32, v (...,) uint32."""
+    out = jnp.zeros_like(v)
+    for j in range(32):
+        bit = (v >> jnp.uint32(j)) & jnp.uint32(1)
+        out = out ^ (bit * cols[j])
+    return out
+
+
+@jax.jit
+def _crc32_padded(data: jnp.ndarray, init_term: jnp.ndarray) -> jnp.ndarray:
+    """Raw-space CRC over data (power-of-two words, leading zero padding).
+
+    Leading zero bytes are free in raw space (T0[0] == 0), so callers pad at
+    the FRONT to a power-of-two word count. `init_term` = shift8^n(0xFFFFFFFF),
+    host-computed per call (32x32 GF(2) square-multiply, microseconds).
+    """
+    tabs = jnp.asarray(_crc_word_tables())
+    d = data.reshape(-1, 4).astype(jnp.int32)
+    c = (tabs[3][d[:, 0]] ^ tabs[2][d[:, 1]] ^ tabs[1][d[:, 2]]
+         ^ tabs[0][d[:, 3]])
+    nwords = c.shape[0]
+    levels = int(np.log2(nwords)) if nwords > 1 else 0
+    mats = _tree_matrices()
+    for k in range(levels):
+        left = c[0::2]
+        right = c[1::2]
+        c = _gf2_matvec_device(jnp.asarray(mats[k]), left) ^ right
+    raw = c[0]
+    return raw ^ init_term ^ jnp.uint32(0xFFFFFFFF)
+
+
+def _bucket_pad(arr: np.ndarray, multiple: int, front: bool = False) -> np.ndarray:
+    """Pad to the next power-of-two multiple of `multiple` (limits recompiles)."""
+    n = arr.shape[0]
+    target = multiple
+    while target < n:
+        target *= 2
+    pad = target - n
+    if pad == 0:
+        return arr
+    return np.concatenate([np.zeros(pad, np.uint8), arr] if front
+                          else [arr, np.zeros(pad, np.uint8)])
+
+
+def crc32_device(data) -> int:
+    """CRC-32 computed on the accelerator. Accepts bytes or uint8 array."""
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    n = arr.shape[0]
+    if n == 0:
+        return 0
+    padded = _bucket_pad(arr, 4, front=True)
+    init_term = crc_shift_register(0xFFFFFFFF, n)
+    return int(_crc32_padded(jnp.asarray(padded), jnp.uint32(init_term)))
