@@ -1,0 +1,64 @@
+"""Per-level round-trip sweep + compression-ratio gates.
+
+Mirrors reference tests/test_levels.nim (round-trip at every level -2..9) and
+the BASELINE ratio target (compressed size <= zippy's at each level; zlib's
+greedy-comparable sizes are the available proxy ground truth).
+"""
+
+import zlib
+
+import pytest
+
+import zippy_tpu
+from zippy_tpu import dfDeflate, dfGzip, dfZlib
+
+FILES = [
+    "alice29.txt", "asyoulik.txt", "fireworks.jpg", "geo.protodata",
+    "html", "kppkn.gtb", "paper-100k.pdf", "urls.10K",
+]
+
+ALL_LEVELS = list(range(-2, 10))
+
+
+@pytest.mark.parametrize("name", FILES)
+def test_levels_roundtrip(corpus_dir, name):
+    data = (corpus_dir / name).read_bytes()
+    for level in ALL_LEVELS:
+        for fmt in (dfGzip, dfZlib, dfDeflate):
+            blob = zippy_tpu.compress(data, level, fmt)
+            assert zippy_tpu.uncompress(blob, fmt) == data, (name, level, fmt)
+
+
+def test_level_sizes_monotonic_enough(corpus_dir):
+    """Higher levels should not compress dramatically worse than lower ones."""
+    data = (corpus_dir / "alice29.txt").read_bytes()
+    sizes = {
+        lvl: len(zippy_tpu.compress(data, lvl, dfDeflate)) for lvl in range(1, 10)
+    }
+    assert sizes[9] <= sizes[1]
+    assert sizes[6] <= sizes[3] * 1.02
+
+
+@pytest.mark.parametrize("name", FILES)
+def test_ratio_vs_zlib(corpus_dir, name):
+    """Size gate per level vs CPython zlib (greedy zippy beats zlib at L1,
+    trails slightly at high levels; we must stay within a tight envelope)."""
+    data = (corpus_dir / name).read_bytes()
+    # Remaining >1.0 headroom is mixed-content block splitting (pdf/jpg);
+    # see native deflate TODO on sub-block stored segments.
+    for level, margin in [(1, 1.015), (6, 1.005), (9, 1.01)]:
+        ours = len(zippy_tpu.compress(data, level, dfDeflate))
+        zl = len(zlib.compress(data, level)) - 6
+        assert ours <= zl * margin, (
+            f"{name} level {level}: ours {ours} vs zlib {zl} (margin {margin})"
+        )
+
+
+def test_ratio_vs_reference_fixture(corpus_dir):
+    """Our best-level gzip should not exceed the recorded zippy fixture size
+    by more than the greedy-vs-lazy gap (fixtures: alice29 54,416 B)."""
+    for name in ["alice29.txt", "asyoulik.txt"]:
+        data = (corpus_dir / name).read_bytes()
+        fixture = (corpus_dir / (name + ".gz")).stat().st_size
+        ours = len(zippy_tpu.compress(data, 9, dfGzip))
+        assert ours <= fixture, (name, ours, fixture)

@@ -1,0 +1,41 @@
+"""zippy_tpu: a TPU-native DEFLATE/zlib/gzip/zip/tar compression framework.
+
+Same capabilities as guzba/zippy, re-architected for JAX/XLA/Pallas: the
+data-parallel compute (LZ77 candidate scoring, Huffman construction, bit
+packing, checksums) runs on TPU; the bit-serial paths run in the native C++
+runtime; large inputs shard block-parallel across a device mesh.
+"""
+
+from .api import compress, uncompress
+from .common import (
+    BestCompression,
+    BestSpeed,
+    CompressedDataFormat,
+    DefaultCompression,
+    HuffmanOnly,
+    NoCompression,
+    ZippyError,
+    dfDeflate,
+    dfDetect,
+    dfGzip,
+    dfZlib,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "compress",
+    "uncompress",
+    "CompressedDataFormat",
+    "ZippyError",
+    "BestCompression",
+    "BestSpeed",
+    "DefaultCompression",
+    "HuffmanOnly",
+    "NoCompression",
+    "dfDetect",
+    "dfZlib",
+    "dfGzip",
+    "dfDeflate",
+    "__version__",
+]

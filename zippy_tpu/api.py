@@ -1,0 +1,126 @@
+"""Public codec API: compress() / uncompress().
+
+Parity reference: /root/reference/src/zippy.nim (format framing, dfDetect
+magic-byte sniffing zippy.nim:109-125, zlib CMF/FLG/FDICT checks
+zippy.nim:130-150, adler32 verification zippy.nim:154-162).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from . import engine, gzip_format
+from .common import (
+    CompressedDataFormat,
+    DefaultCompression,
+    ZippyError,
+    check_level,
+    dfDeflate,
+    dfDetect,
+    dfGzip,
+    dfZlib,
+)
+
+
+def _to_bytes(src) -> bytes:
+    if isinstance(src, bytes):
+        return src
+    if isinstance(src, (bytearray, memoryview)):
+        return bytes(src)
+    if isinstance(src, str):
+        return src.encode("utf-8")
+    raise TypeError(f"Unsupported input type {type(src)!r}")
+
+
+def compress(
+    src,
+    level: int = DefaultCompression,
+    data_format: CompressedDataFormat = dfGzip,
+    *,
+    engine_name: str = "auto",
+) -> bytes:
+    """Compress src, framed per data_format (gzip by default)."""
+    data = _to_bytes(src)
+    check_level(level)
+
+    if data_format == dfGzip:
+        return gzip_format.write_member(data, level, engine_name=engine_name)
+
+    if data_format == dfZlib:
+        cm = 8
+        cinfo = 7
+        cmf = (cinfo << 4) | cm
+        fcheck = (31 - (cmf * 256) % 31) % 31
+        header = bytes([cmf, fcheck])
+        body = engine.deflate(data, level, engine_name)
+        checksum = engine.adler32(data, engine_name)
+        return header + body + struct.pack(">I", checksum)
+
+    if data_format == dfDeflate:
+        return engine.deflate(data, level, engine_name)
+
+    raise ZippyError(f"Invalid data format {data_format}")
+
+
+def _looks_gzip(data: bytes) -> bool:
+    return (
+        len(data) > 18
+        and data[0] == 31
+        and data[1] == 139
+        and data[2] == 8
+        and (data[3] & 0b1110_0000) == 0
+    )
+
+
+def _looks_zlib(data: bytes) -> bool:
+    return (
+        len(data) > 6
+        and (data[0] & 0x0F) == 8
+        and (data[0] >> 4) <= 7
+        and (data[0] * 256 + data[1]) % 31 == 0
+    )
+
+
+def uncompress(
+    src,
+    data_format: CompressedDataFormat = dfDetect,
+) -> bytes:
+    """Uncompress src; detects gzip/zlib framing by default."""
+    data = _to_bytes(src)
+
+    if data_format == dfDetect:
+        if _looks_gzip(data):
+            return uncompress(data, dfGzip)
+        if _looks_zlib(data):
+            return uncompress(data, dfZlib)
+        raise ZippyError("Unable to detect compressed data format")
+
+    if data_format == dfGzip:
+        return gzip_format.uncompress_gzip(data)
+
+    if data_format == dfZlib:
+        if len(data) < 6:
+            raise ZippyError("Invalid compressed data")
+        cmf, flg = data[0], data[1]
+        if (cmf & 0x0F) != 8:
+            raise ZippyError("Unsupported compression method")
+        if (cmf >> 4) > 7:
+            raise ZippyError("Invalid compression info")
+        if (cmf * 256 + flg) % 31 != 0:
+            raise ZippyError("Invalid header")
+        if flg & 0b0010_0000:
+            raise ZippyError("Preset dictionary is not yet supported")
+        payload, end_bit = engine.inflate(data, 16)
+        tpos = (end_bit + 7) // 8
+        if tpos + 4 > len(data):
+            raise ZippyError("Invalid compressed data")
+        checksum = struct.unpack_from(">I", data, tpos)[0]
+        if checksum != engine.adler32(payload):
+            raise ZippyError("Checksum verification failed")
+        return payload
+
+    if data_format == dfDeflate:
+        payload, _ = engine.inflate(data)
+        return payload
+
+    raise ZippyError(f"Invalid data format {data_format}")

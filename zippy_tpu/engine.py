@@ -1,0 +1,80 @@
+"""Codec engine selection: native (host C++) vs device (TPU kernels).
+
+The device engine owns large-input compression (block-parallel on the chip);
+the native engine owns small inputs and the bit-serial inflate path. "auto"
+picks per call.
+"""
+
+from __future__ import annotations
+
+from . import native
+
+# Inputs below this size stay on the host: kernel dispatch + transfer overhead
+# dominates any device win (axon host->device link measured ~0.2 GB/s).
+DEVICE_MIN_BYTES = 1 << 20
+
+_device_available: bool | None = None
+
+
+def device_available() -> bool:
+    global _device_available
+    if _device_available is None:
+        try:
+            import jax
+
+            _device_available = len(jax.devices()) > 0
+        except Exception:  # pragma: no cover
+            _device_available = False
+    return _device_available
+
+
+def deflate(data: bytes, level: int, engine: str = "auto") -> bytes:
+    """Raw DEFLATE encode via the chosen engine."""
+    if engine == "native":
+        return native.deflate(data, level)
+    if engine == "device" or (
+        engine == "auto"
+        and len(data) >= DEVICE_MIN_BYTES
+        and level != 0
+        and device_available()
+    ):
+        try:
+            from .ops import deflate_device
+
+            return deflate_device.deflate(data, level)
+        except ImportError:
+            pass
+    return native.deflate(data, level)
+
+
+def inflate(
+    data: bytes,
+    start_bit: int = 0,
+    size_hint: int | None = None,
+) -> tuple[bytes, int]:
+    """Raw DEFLATE decode. Returns (payload, end_bit).
+
+    Single-stream inflate is bit-serial; it always runs on the native engine.
+    Block-parallel decode of indexed streams lives in zippy_tpu.parallel.
+    """
+    return native.inflate(data, start_bit, size_hint=size_hint)
+
+
+def crc32(data: bytes, engine: str = "auto") -> int:
+    if engine == "device" or (
+        engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
+    ):
+        from .ops import checksums
+
+        return checksums.crc32_device(data)
+    return native.crc32(data)
+
+
+def adler32(data: bytes, engine: str = "auto") -> int:
+    if engine == "device" or (
+        engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
+    ):
+        from .ops import checksums
+
+        return checksums.adler32_device(data)
+    return native.adler32(data)

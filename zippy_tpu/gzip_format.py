@@ -1,0 +1,151 @@
+"""RFC 1952 gzip member framing.
+
+Parity reference: /root/reference/src/zippy/gzip.nim (header flag handling,
+trailer crc32 + ISIZE-mod-2^32 verification, trustSize preallocation) and
+zippy.nim:22-58 (member write with random-length FNAME anti-oracle padding,
+https://github.com/guzba/zippy/issues/61).
+
+Extensions over the reference: FEXTRA is parsed (the reference rejects it,
+gzip.nim:40-41) and multi-member streams decode to the concatenation like
+CPython's gzip — both strict supersets used by the parallel framing in
+zippy_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from . import engine
+from .common import ZippyError
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+FTEXT = 1 << 0
+FHCRC = 1 << 1
+FEXTRA = 1 << 2
+FNAME = 1 << 3
+FCOMMENT = 1 << 4
+
+
+def write_member(
+    src: bytes,
+    level: int,
+    *,
+    random_name_padding: bool = True,
+    extra: bytes | None = None,
+    engine_name: str = "auto",
+) -> bytes:
+    """One gzip member: header + deflate stream + crc32/ISIZE trailer."""
+    flg = 0
+    fields = b""
+    if extra is not None:
+        if len(extra) > 0xFFFF:
+            raise ZippyError("gzip FEXTRA field too long")
+        flg |= FEXTRA
+        fields += struct.pack("<H", len(extra)) + extra
+    if random_name_padding:
+        # Random-length (0-25 chars) FNAME defeats compressed-length oracles
+        # (reference zippy.nim:28-42).
+        flg |= FNAME
+        n = os.urandom(1)[0] % 26
+        fields += bytes(97 + i for i in range(n)) + b"\x00"
+    header = struct.pack("<2sBBIBB", GZIP_MAGIC, 8, flg, 0, 0, 0)
+    body = engine.deflate(src, level, engine_name)
+    trailer = struct.pack(
+        "<II", engine.crc32(src, engine_name), len(src) & 0xFFFFFFFF
+    )
+    return header + fields + body + trailer
+
+
+def parse_header(src: bytes, pos: int = 0) -> dict:
+    """Parse one member header; returns dict with deflate stream offset."""
+    if len(src) - pos < 18:
+        raise ZippyError("Invalid gzip data")
+    if src[pos : pos + 2] != GZIP_MAGIC:
+        raise ZippyError("Failed gzip identification values check")
+    cm = src[pos + 2]
+    flg = src[pos + 3]
+    if cm != 8:
+        raise ZippyError("Unsupported compression method")
+    if flg & 0b1110_0000:
+        raise ZippyError("Reserved flag bits set")
+    mtime = struct.unpack_from("<I", src, pos + 4)[0]
+    p = pos + 10
+    extra = None
+    if flg & FEXTRA:
+        if p + 2 > len(src):
+            raise ZippyError("Invalid gzip data")
+        xlen = struct.unpack_from("<H", src, p)[0]
+        p += 2
+        if p + xlen > len(src):
+            raise ZippyError("Invalid gzip data")
+        extra = src[p : p + xlen]
+        p += xlen
+    name = None
+    if flg & FNAME:
+        end = src.find(b"\x00", p)
+        if end < 0:
+            raise ZippyError("Invalid gzip data")
+        name = src[p:end]
+        p = end + 1
+    comment = None
+    if flg & FCOMMENT:
+        end = src.find(b"\x00", p)
+        if end < 0:
+            raise ZippyError("Invalid gzip data")
+        comment = src[p:end]
+        p = end + 1
+    if flg & FHCRC:
+        if p + 2 >= len(src):
+            raise ZippyError("Invalid gzip data")
+        p += 2  # header crc not verified (reference gzip.nim:55-59 skips too)
+    if p + 8 >= len(src):
+        raise ZippyError("Invalid gzip data")
+    return {
+        "data_offset": p,
+        "mtime": mtime,
+        "extra": extra,
+        "name": name,
+        "comment": comment,
+    }
+
+
+def read_member(src: bytes, pos: int = 0, trust_size: bool = False) -> tuple[bytes, int]:
+    """Decode one member starting at byte `pos`. Returns (payload, next_pos)."""
+    hdr = parse_header(src, pos)
+    p = hdr["data_offset"]
+    size_hint = None
+    if trust_size:
+        # ISIZE-based preallocation (reference gzip.nim:72-77). ISIZE is mod
+        # 2^32 so it's a hint, not a guarantee; inflate falls back to growth.
+        isize = struct.unpack_from("<I", src, len(src) - 4)[0]
+        size_hint = isize + 16
+    payload, end_bit = engine.inflate(src, p * 8, size_hint=size_hint)
+    tpos = (end_bit + 7) // 8
+    if tpos + 8 > len(src):
+        raise ZippyError("Invalid gzip data")
+    checksum, isize = struct.unpack_from("<II", src, tpos)
+    if checksum != engine.crc32(payload):
+        raise ZippyError("Checksum verification failed")
+    if isize != len(payload) & 0xFFFFFFFF:
+        raise ZippyError("Size verification failed")
+    return payload, tpos + 8
+
+
+def uncompress_gzip(src: bytes, trust_size: bool = False) -> bytes:
+    """Decode a gzip stream; concatenates all members (CPython semantics)."""
+    parts = []
+    pos = 0
+    first = True
+    while True:
+        payload, pos = read_member(src, pos, trust_size=trust_size and first)
+        parts.append(payload)
+        first = False
+        # Trailing zero padding is tolerated (some tar tools pad archives).
+        rest = src[pos:]
+        if not rest or rest.strip(b"\x00") == b"":
+            break
+        if len(rest) < 18 or rest[:2] != GZIP_MAGIC:
+            raise ZippyError("Invalid gzip data (trailing garbage)")
+    return parts[0] if len(parts) == 1 else b"".join(parts)

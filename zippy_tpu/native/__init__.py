@@ -1,0 +1,98 @@
+"""ctypes bindings for the native runtime (see src/zippy_native.cpp).
+
+Provides the host-side serial codec: single-stream inflate, the small-input
+deflate fast path, and scalar checksums. The TPU device paths live in
+zippy_tpu/ops.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+
+from ..common import ZippyError
+from .build import ensure_built
+
+_ERR_MALFORMED = -1
+_ERR_DST_FULL = -2
+
+
+@functools.cache
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(ensure_built()))
+    lib.zt_crc32.restype = ctypes.c_uint32
+    lib.zt_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.zt_crc32_update.restype = ctypes.c_uint32
+    lib.zt_crc32_update.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t]
+    lib.zt_adler32.restype = ctypes.c_uint32
+    lib.zt_adler32.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.zt_adler32_update.restype = ctypes.c_uint32
+    lib.zt_adler32_update.argtypes = [ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t]
+    lib.zt_inflate.restype = ctypes.c_int64
+    lib.zt_inflate.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.zt_deflate.restype = ctypes.c_int64
+    lib.zt_deflate.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.zt_deflate_bound.restype = ctypes.c_size_t
+    lib.zt_deflate_bound.argtypes = [ctypes.c_size_t]
+    return lib
+
+
+def crc32(data: bytes, value: int = 0) -> int:
+    if value:
+        return _lib().zt_crc32_update(value & 0xFFFFFFFF, data, len(data))
+    return _lib().zt_crc32(data, len(data))
+
+
+def adler32(data: bytes, value: int = 1) -> int:
+    if value != 1:
+        return _lib().zt_adler32_update(value & 0xFFFFFFFF, data, len(data))
+    return _lib().zt_adler32(data, len(data))
+
+
+def inflate(
+    data: bytes,
+    start_bit: int = 0,
+    size_hint: int | None = None,
+    max_output: int | None = None,
+) -> tuple[bytes, int]:
+    """Decode one raw DEFLATE stream. Returns (payload, end_bit).
+
+    `size_hint` preallocates exactly (the gzip ISIZE `trustSize` path,
+    reference gzip.nim:72-77). Otherwise the output buffer grows by retry.
+    """
+    lib = _lib()
+    n = len(data)
+    cap = size_hint if size_hint is not None else max(4 * n, 1 << 16)
+    end_bit = ctypes.c_size_t(0)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        rc = lib.zt_inflate(data, n, start_bit, buf, cap, ctypes.byref(end_bit))
+        if rc >= 0:
+            return buf.raw[:rc], end_bit.value
+        if rc == _ERR_DST_FULL:
+            if size_hint is not None and cap == size_hint:
+                # hint was wrong; fall back to growth
+                size_hint = None
+            cap = max(cap * 2, 1 << 16)
+            if max_output is not None and cap > max_output:
+                if cap // 2 >= max_output:
+                    raise ZippyError("Uncompressed data too large")
+                cap = max_output
+            continue
+        raise ZippyError("Invalid compressed data")
+
+
+def deflate(data: bytes, level: int) -> bytes:
+    lib = _lib()
+    cap = lib.zt_deflate_bound(len(data))
+    buf = ctypes.create_string_buffer(cap)
+    rc = lib.zt_deflate(data, len(data), level, buf, cap)
+    if rc < 0:
+        raise ZippyError(f"deflate failed (code {rc})")
+    return buf.raw[:rc]

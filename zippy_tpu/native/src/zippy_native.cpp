@@ -1,0 +1,1071 @@
+// zippy_tpu native runtime: DEFLATE codec + checksums for the host side.
+//
+// The TPU owns the data-parallel compute path (see zippy_tpu/ops/*); this
+// library owns the inherently bit-serial paths: single-stream inflate
+// (symbol-by-symbol Huffman decode), the small-input deflate fast path, and
+// scalar checksums. Behavior parity targets (NOT a translation — the design
+// here is a two-level LUT + canonical-fallback decoder and a package-merge
+// length limiter, neither of which the reference uses):
+//   inflate:  /root/reference/src/zippy/inflate.nim
+//   deflate:  /root/reference/src/zippy/deflate.nim, lz77.nim, snappy.nim
+//   bit IO:   /root/reference/src/zippy/bitstreams.nim
+//   checksums:/root/reference/src/zippy/crc.nim, adler32.nim
+//
+// Exported C ABI (ctypes): see block at the bottom.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Checksums
+// ---------------------------------------------------------------------------
+
+struct CrcTables {
+  uint32_t t[8][256];
+  CrcTables() {
+    for (uint32_t b = 0; b < 256; b++) {
+      uint32_t c = b;
+      for (int k = 0; k < 8; k++) c = (c >> 1) ^ ((c & 1) ? 0xEDB88320u : 0);
+      t[0][b] = c;
+    }
+    for (int s = 1; s < 8; s++)
+      for (uint32_t b = 0; b < 256; b++)
+        t[s][b] = (t[s - 1][b] >> 8) ^ t[0][t[s - 1][b] & 0xFF];
+  }
+};
+const CrcTables kCrc;
+
+uint32_t crc32(const uint8_t* p, size_t n, uint32_t crc = 0) {
+  uint32_t c = ~crc;
+  // Slice-by-8: process 8 bytes per step, 8 independent table lookups.
+  while (n >= 8) {
+    uint32_t lo, hi;
+    memcpy(&lo, p, 4);
+    memcpy(&hi, p + 4, 4);
+    lo ^= c;
+    c = kCrc.t[7][lo & 0xFF] ^ kCrc.t[6][(lo >> 8) & 0xFF] ^
+        kCrc.t[5][(lo >> 16) & 0xFF] ^ kCrc.t[4][lo >> 24] ^
+        kCrc.t[3][hi & 0xFF] ^ kCrc.t[2][(hi >> 8) & 0xFF] ^
+        kCrc.t[1][(hi >> 16) & 0xFF] ^ kCrc.t[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) c = (c >> 8) ^ kCrc.t[0][(c ^ *p++) & 0xFF];
+  return ~c;
+}
+
+uint32_t adler32(const uint8_t* p, size_t n, uint32_t adler = 1) {
+  const uint32_t MOD = 65521;
+  uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
+  // NMAX = largest n with 255n(n+1)/2 + (n+1)(MOD-1) < 2^32 (zlib's trick).
+  const size_t NMAX = 5552;
+  while (n) {
+    size_t k = n < NMAX ? n : NMAX;
+    n -= k;
+    while (k >= 16) {
+      for (int i = 0; i < 16; i++) { s1 += p[i]; s2 += s1; }
+      p += 16;
+      k -= 16;
+    }
+    while (k--) { s1 += *p++; s2 += s1; }
+    s1 %= MOD;
+    s2 %= MOD;
+  }
+  return (s2 << 16) | s1;
+}
+
+// ---------------------------------------------------------------------------
+// RFC 1951 constant tables
+// ---------------------------------------------------------------------------
+
+const uint16_t kBaseLengths[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
+                                   15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                                   67, 83, 99, 115, 131, 163, 195, 227, 258};
+const uint8_t kLengthExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                                  2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+const uint32_t kBaseDists[30] = {1,    2,    3,    4,    5,    7,    9,   13,
+                                 17,   25,   33,   49,   65,   97,   129, 193,
+                                 257,  385,  513,  769,  1025, 1537, 2049, 3073,
+                                 4097, 6145, 8193, 12289, 16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
+                                6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+const uint8_t kClclOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+const int kMinMatch = 4;       // we never emit 3-byte matches (like reference lz77)
+const int kMaxMatch = 258;
+const int kWindow = 32768;
+const size_t kMaxBlock = 4u << 20;      // 4 MiB encoder block seam
+const size_t kMaxStored = 65535;
+
+// length (3..258) -> length code index 0..28
+struct LenCodeLut {
+  uint8_t idx[256];
+  LenCodeLut() {
+    for (int c = 0; c < 29; c++) {
+      int span = 1 << kLengthExtra[c];
+      for (int l = kBaseLengths[c]; l < kBaseLengths[c] + span && l <= 258; l++)
+        idx[l - 3] = (uint8_t)c;
+    }
+    idx[255] = 28;  // length 258
+  }
+};
+const LenCodeLut kLenCode;
+
+// distance (1..32768) -> distance code index 0..29 (two-level like zlib d_code)
+struct DistCodeLut {
+  uint8_t lo[256], hi[256];
+  DistCodeLut() {
+    for (int c = 0; c < 30; c++) {
+      uint32_t end = kBaseDists[c] + (1u << kDistExtra[c]);
+      for (uint32_t d = kBaseDists[c]; d < end && d <= 256; d++) lo[d - 1] = (uint8_t)c;
+      for (uint32_t d = std::max<uint32_t>(kBaseDists[c], 257); d < end && d <= 32768; d++)
+        hi[(d - 1) >> 7] = (uint8_t)c;
+    }
+  }
+  inline int code(uint32_t dist) const {
+    return dist <= 256 ? lo[dist - 1] : hi[(dist - 1) >> 7];
+  }
+};
+const DistCodeLut kDistCode;
+
+// ---------------------------------------------------------------------------
+// Bit reader (LSB-first, 64-bit buffer)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* src;
+  size_t len;
+  size_t byte_pos;   // next byte to load (may run past len, loading zeros)
+  uint64_t buf = 0;
+  int cnt = 0;       // bits in buf
+
+  BitReader(const uint8_t* s, size_t n, size_t start_bit)
+      : src(s), len(n), byte_pos(start_bit >> 3) {
+    int sub = (int)(start_bit & 7);
+    if (sub) {
+      buf = (byte_pos < len ? src[byte_pos] : 0) >> sub;
+      cnt = 8 - sub;
+      byte_pos++;
+    }
+  }
+
+  inline void refill() {
+    if (byte_pos + 8 <= len) {
+      uint64_t w;
+      memcpy(&w, src + byte_pos, 8);
+      buf |= w << cnt;
+      int add = (63 - cnt) & ~7;
+      byte_pos += add >> 3;
+      cnt += add;
+    } else {
+      while (cnt <= 56) {
+        buf |= (uint64_t)(byte_pos < len ? src[byte_pos] : 0) << cnt;
+        byte_pos++;
+        cnt += 8;
+      }
+    }
+  }
+
+  inline uint32_t peek(int n) {
+    if (cnt < n) refill();
+    return (uint32_t)(buf & ((1u << n) - 1));
+  }
+  inline void drop(int n) { buf >>= n; cnt -= n; }
+  inline uint32_t bits(int n) {
+    uint32_t v = peek(n);
+    drop(n);
+    return v;
+  }
+  // Total bits consumed so far (counting fictitious zero bytes past the end).
+  inline size_t consumed() const { return byte_pos * 8 - (size_t)cnt; }
+  inline bool overrun() const { return consumed() > len * 8; }
+  inline void align_byte() { drop(cnt & 7); }
+};
+
+// ---------------------------------------------------------------------------
+// Huffman decode: 10-bit LUT fast path + canonical bit-by-bit fallback
+// ---------------------------------------------------------------------------
+
+const int kLutBits = 10;
+
+struct HuffDecoder {
+  uint16_t lut[1 << kLutBits];  // (sym << 4) | code_len; 0 = slow path
+  uint16_t first_code[16];      // canonical MSB-first first code per length
+  uint16_t limit[16];           // first_code + count
+  uint16_t offset[16];          // index of first symbol of this length
+  uint16_t sorted_syms[288];
+  int num_codes = 0;
+
+  // Returns false on an over-subscribed code. Incomplete codes are accepted
+  // at build time; hitting an unassigned code during decode errors instead
+  // (mirrors the reference's in-band bad-code sentinel, inflate.nim:77-82).
+  bool build(const uint8_t* lens, int n) {
+    memset(lut, 0, sizeof(lut));
+    uint16_t count[16] = {0};
+    for (int i = 0; i < n; i++) count[lens[i]]++;
+    count[0] = 0;
+    uint32_t total = 0;
+    uint32_t code = 0;
+    uint16_t next_idx[16];
+    num_codes = 0;
+    for (int l = 1; l <= 15; l++) {
+      code = (code + count[l - 1]) << 1;
+      first_code[l] = (uint16_t)code;
+      limit[l] = (uint16_t)(code + count[l]);
+      offset[l] = (uint16_t)num_codes;
+      next_idx[l] = (uint16_t)num_codes;
+      num_codes += count[l];
+      total += (uint32_t)count[l] << (15 - l);
+      if (total > 32768u) return false;  // over-subscribed
+    }
+    uint16_t next_code[16];
+    for (int l = 1; l <= 15; l++) next_code[l] = first_code[l];
+    for (int sym = 0; sym < n; sym++) {
+      int l = lens[sym];
+      if (!l) continue;
+      uint32_t c = next_code[l]++;
+      sorted_syms[next_idx[l]++] = (uint16_t)sym;
+      if (l <= kLutBits) {
+        // reverse the l-bit code (stream is LSB-first, codes packed MSB-first)
+        uint32_t r = 0;
+        for (int b = 0; b < l; b++) r |= ((c >> b) & 1) << (l - 1 - b);
+        for (uint32_t i = r; i < (1u << kLutBits); i += 1u << l)
+          lut[i] = (uint16_t)((sym << 4) | l);
+      }
+    }
+    return true;
+  }
+
+  // Returns symbol or -1 on invalid code.
+  inline int decode(BitReader& br) const {
+    uint32_t window = br.peek(15);
+    uint16_t e = lut[window & ((1 << kLutBits) - 1)];
+    if (e) {
+      br.drop(e & 15);
+      return e >> 4;
+    }
+    uint32_t code = 0;
+    for (int l = 1; l <= 15; l++) {
+      code = (code << 1) | (window & 1);
+      window >>= 1;
+      if (code >= first_code[l] && code < limit[l]) {
+        br.drop(l);
+        return sorted_syms[offset[l] + (code - first_code[l])];
+      }
+    }
+    return -1;
+  }
+};
+
+struct FixedTables {
+  HuffDecoder litlen, dist;
+  FixedTables() {
+    uint8_t ll[288], dd[30];
+    for (int i = 0; i < 144; i++) ll[i] = 8;
+    for (int i = 144; i < 256; i++) ll[i] = 9;
+    for (int i = 256; i < 280; i++) ll[i] = 7;
+    for (int i = 280; i < 288; i++) ll[i] = 8;
+    for (int i = 0; i < 30; i++) dd[i] = 5;
+    litlen.build(ll, 288);
+    dist.build(dd, 30);
+  }
+};
+const FixedTables kFixed;
+
+// ---------------------------------------------------------------------------
+// Inflate
+// ---------------------------------------------------------------------------
+
+enum {
+  ZT_OK = 0,
+  ZT_ERR_MALFORMED = -1,
+  ZT_ERR_DST_FULL = -2,
+};
+
+// Inflate one complete deflate stream. Returns bytes written (>= 0) or error.
+int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
+                     uint8_t* dst, size_t dst_cap, size_t* end_bit) {
+  BitReader br(src, src_len, start_bit);
+  size_t op = 0;
+  bool final_block = false;
+  HuffDecoder dyn_litlen, dyn_dist;
+
+  while (!final_block) {
+    if (br.overrun()) return ZT_ERR_MALFORMED;
+    final_block = br.bits(1) != 0;
+    uint32_t btype = br.bits(2);
+
+    if (btype == 0) {  // stored
+      br.align_byte();
+      uint32_t len = br.bits(16);
+      uint32_t nlen = br.bits(16);
+      if ((len ^ nlen) != 0xFFFF) return ZT_ERR_MALFORMED;
+      // Current byte position: buffered bits are whole bytes after align.
+      size_t cur = br.byte_pos - (size_t)(br.cnt >> 3);
+      if (cur + len > src_len) return ZT_ERR_MALFORMED;
+      if (op + len > dst_cap) return ZT_ERR_DST_FULL;
+      memcpy(dst + op, src + cur, len);
+      op += len;
+      br.byte_pos = cur + len;
+      br.buf = 0;
+      br.cnt = 0;
+      continue;
+    }
+    if (btype == 3) return ZT_ERR_MALFORMED;
+
+    const HuffDecoder* litlen = &kFixed.litlen;
+    const HuffDecoder* dist = &kFixed.dist;
+    if (btype == 2) {  // dynamic: rebuild tables from RLE'd code lengths
+      uint32_t hlit = br.bits(5) + 257;
+      uint32_t hdist = br.bits(5) + 1;
+      uint32_t hclen = br.bits(4) + 4;
+      if (hlit > 286 || hdist > 30) return ZT_ERR_MALFORMED;
+      uint8_t cl_lens[19] = {0};
+      for (uint32_t i = 0; i < hclen; i++) cl_lens[kClclOrder[i]] = (uint8_t)br.bits(3);
+      HuffDecoder cl;
+      if (!cl.build(cl_lens, 19)) return ZT_ERR_MALFORMED;
+      uint8_t lens[286 + 30] = {0};
+      uint32_t total = hlit + hdist;
+      uint32_t i = 0;
+      while (i < total) {
+        if (br.overrun()) return ZT_ERR_MALFORMED;
+        int sym = cl.decode(br);
+        if (sym < 0) return ZT_ERR_MALFORMED;
+        if (sym < 16) {
+          lens[i++] = (uint8_t)sym;
+        } else if (sym == 16) {
+          if (i == 0) return ZT_ERR_MALFORMED;
+          uint32_t rep = 3 + br.bits(2);
+          if (i + rep > total) return ZT_ERR_MALFORMED;
+          uint8_t v = lens[i - 1];
+          while (rep--) lens[i++] = v;
+        } else if (sym == 17) {
+          uint32_t rep = 3 + br.bits(3);
+          if (i + rep > total) return ZT_ERR_MALFORMED;
+          i += rep;
+        } else {
+          uint32_t rep = 11 + br.bits(7);
+          if (i + rep > total) return ZT_ERR_MALFORMED;
+          i += rep;
+        }
+      }
+      if (lens[256] == 0) return ZT_ERR_MALFORMED;  // EOB must be codable
+      if (!dyn_litlen.build(lens, (int)hlit)) return ZT_ERR_MALFORMED;
+      if (!dyn_dist.build(lens + hlit, (int)hdist)) return ZT_ERR_MALFORMED;
+      litlen = &dyn_litlen;
+      dist = &dyn_dist;
+    }
+
+    // Symbol loop.
+    for (;;) {
+      if (br.overrun()) return ZT_ERR_MALFORMED;
+      int sym = litlen->decode(br);
+      if (sym < 0) return ZT_ERR_MALFORMED;
+      if (sym < 256) {
+        if (op >= dst_cap) return ZT_ERR_DST_FULL;
+        dst[op++] = (uint8_t)sym;
+        continue;
+      }
+      if (sym == 256) break;
+      if (sym > 285) return ZT_ERR_MALFORMED;
+      uint32_t li = sym - 257;
+      uint32_t length = kBaseLengths[li] + br.bits(kLengthExtra[li]);
+      int dsym = dist->decode(br);
+      if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
+      uint32_t distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
+      if (distance > op) return ZT_ERR_MALFORMED;
+      if (op + length > dst_cap) return ZT_ERR_DST_FULL;
+      uint8_t* d = dst + op;
+      const uint8_t* s = d - distance;
+      op += length;
+      if (distance >= 8 && op + 8 <= dst_cap) {
+        // Overlap-safe 8-byte strided copy with up-to-7-byte overrun slack.
+        size_t l = length;
+        do {
+          memcpy(d, s, 8);
+          d += 8;
+          s += 8;
+        } while (l > 8 && (l -= 8));
+      } else {
+        for (uint32_t k = 0; k < length; k++) d[k] = s[k];
+      }
+    }
+  }
+  if (br.overrun()) return ZT_ERR_MALFORMED;
+  // consumed() is absolute (the constructor pre-counts start_bit).
+  if (end_bit) *end_bit = br.consumed();
+  return (int64_t)op;
+}
+
+// ---------------------------------------------------------------------------
+// Bit writer (LSB-first, 64-bit accumulator)
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+  uint8_t* dst;
+  size_t cap;
+  size_t pos = 0;    // bytes fully written
+  uint64_t buf = 0;
+  int cnt = 0;
+  bool full = false;
+
+  BitWriter(uint8_t* d, size_t c) : dst(d), cap(c) {}
+
+  inline void add(uint32_t v, int n) {  // n <= 32, v < 2^n
+    buf |= (uint64_t)v << cnt;
+    cnt += n;
+    if (cnt >= 32) {
+      if (pos + 4 <= cap) {
+        uint32_t w = (uint32_t)buf;
+        memcpy(dst + pos, &w, 4);
+      } else {
+        full = true;
+      }
+      pos += 4;
+      buf >>= 32;
+      cnt -= 32;
+    }
+  }
+  void align_byte() {
+    if (cnt & 7) add(0, 8 - (cnt & 7));
+  }
+  // Flush remaining whole bytes; returns final size in bytes.
+  size_t finish() {
+    align_byte();
+    while (cnt >= 8) {
+      if (pos < cap)
+        dst[pos] = (uint8_t)buf;
+      else
+        full = true;
+      pos++;
+      buf >>= 8;
+      cnt -= 8;
+    }
+    return pos;
+  }
+  void write_bytes(const uint8_t* p, size_t n) {  // requires byte alignment
+    if (pos + n <= cap)
+      memcpy(dst + pos, p, n);
+    else
+      full = true;
+    pos += n;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Length-limited Huffman code construction (package-merge; optimal under the
+// limit, unlike heuristic rebalancing — reference deflate.nim:87-101 uses a
+// histogram-rebalance loop instead).
+// ---------------------------------------------------------------------------
+
+void build_code_lengths(const uint32_t* freq, int n, int limit, uint8_t* lens) {
+  memset(lens, 0, n);
+  std::vector<int> active;
+  for (int i = 0; i < n; i++)
+    if (freq[i]) active.push_back(i);
+  if (active.empty()) return;
+  if (active.size() == 1) {
+    lens[active[0]] = 1;
+    return;
+  }
+
+  struct Item {
+    uint64_t w;
+    std::vector<uint16_t> syms;
+  };
+  // Level `limit` items: one per active symbol.
+  std::vector<Item> prev;
+  for (int s : active) prev.push_back({freq[s], {(uint16_t)s}});
+  std::sort(prev.begin(), prev.end(),
+            [](const Item& a, const Item& b) { return a.w < b.w; });
+
+  std::vector<Item> merged = prev;
+  for (int level = 1; level < limit; level++) {
+    // Package pairs from `merged`, then merge with the original leaves.
+    std::vector<Item> packages;
+    for (size_t i = 0; i + 1 < merged.size(); i += 2) {
+      Item it;
+      it.w = merged[i].w + merged[i + 1].w;
+      it.syms = merged[i].syms;
+      it.syms.insert(it.syms.end(), merged[i + 1].syms.begin(),
+                     merged[i + 1].syms.end());
+      packages.push_back(std::move(it));
+    }
+    std::vector<Item> next;
+    next.reserve(prev.size() + packages.size());
+    size_t a = 0, b = 0;
+    while (a < prev.size() || b < packages.size()) {
+      if (b >= packages.size() || (a < prev.size() && prev[a].w <= packages[b].w))
+        next.push_back(prev[a++]);
+      else
+        next.push_back(std::move(packages[b++]));
+    }
+    merged = std::move(next);
+  }
+  // Select the 2(n_active - 1) smallest items; each appearance of a symbol
+  // bumps its code length by one.
+  size_t take = 2 * (active.size() - 1);
+  for (size_t i = 0; i < take && i < merged.size(); i++)
+    for (uint16_t s : merged[i].syms) lens[s]++;
+}
+
+// Canonical codes, bit-reversed for LSB-first emission (RFC 1951 §3.2.2).
+void canonical_codes(const uint8_t* lens, int n, uint16_t* codes) {
+  uint16_t count[16] = {0};
+  for (int i = 0; i < n; i++) count[lens[i]]++;
+  count[0] = 0;
+  uint16_t next[16] = {0};
+  uint32_t code = 0;
+  for (int l = 1; l <= 15; l++) {
+    code = (code + count[l - 1]) << 1;
+    next[l] = (uint16_t)code;
+  }
+  for (int i = 0; i < n; i++) {
+    int l = lens[i];
+    if (!l) {
+      codes[i] = 0;
+      continue;
+    }
+    uint32_t c = next[l]++;
+    uint32_t r = 0;
+    for (int b = 0; b < l; b++) r |= ((c >> b) & 1) << (l - 1 - b);
+    codes[i] = (uint16_t)r;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// LZ77 tokenization: hash-chain greedy matcher (zlib-style work factors,
+// reference internal.nim:177-189; match-all-position insertion like
+// reference lz77.nim:121-126; skip-ahead probing at level 1 like
+// reference snappy.nim:90).
+// ---------------------------------------------------------------------------
+
+struct LevelCfg {
+  int good, lazy, nice, chain;
+};
+const LevelCfg kLevels[10] = {
+    {0, 0, 0, 0},        // 0: stored (unused)
+    {4, 4, 8, 4},        // 1
+    {4, 5, 16, 8},       // 2
+    {4, 6, 32, 32},      // 3
+    {4, 4, 16, 16},      // 4
+    {8, 16, 32, 32},     // 5
+    {8, 16, 128, 128},   // 6
+    {8, 32, 128, 256},   // 7
+    {32, 128, 258, 1024},// 8
+    {32, 258, 258, 4096},// 9
+};
+
+const int kHashBits = 16;
+
+inline uint32_t read32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+inline uint32_t hash4(uint32_t v) {
+  return (v * 0x9E3779B1u) >> (32 - kHashBits);
+}
+
+inline int match_len(const uint8_t* a, const uint8_t* b, int max) {
+  int i = 0;
+  while (i + 8 <= max) {
+    uint64_t x, y;
+    memcpy(&x, a + i, 8);
+    memcpy(&y, b + i, 8);
+    uint64_t diff = x ^ y;
+    if (diff) return i + (__builtin_ctzll(diff) >> 3);
+    i += 8;
+  }
+  while (i < max && a[i] == b[i]) i++;
+  return i;
+}
+
+// Token: high bit set => match: (1<<31) | (len-3)<<16 | (dist-1).
+// Otherwise: literal run length (bytes copied verbatim from the cursor).
+struct TokenStream {
+  std::vector<uint32_t> tokens;
+  uint32_t lit_freq[286] = {0};   // litlen symbol frequencies (includes EOB)
+  uint32_t dist_freq[30] = {0};
+  size_t n_literals = 0;          // total literal bytes
+  size_t n_tokens_match = 0;
+};
+
+struct Matcher {
+  const uint8_t* src;
+  size_t n;
+  LevelCfg cfg;
+  std::vector<int32_t> head;
+  std::vector<int32_t> prev;
+
+  Matcher(const uint8_t* s, size_t end, const LevelCfg& c)
+      : src(s), n(end), cfg(c), head((size_t)1 << kHashBits, -1), prev(kWindow) {}
+
+  // Insert position into the hash chains; returns the previous chain head.
+  inline int32_t insert(size_t pos) {
+    uint32_t h = hash4(read32(src + pos));
+    int32_t cand = head[h];
+    head[h] = (int32_t)pos;
+    prev[pos & (kWindow - 1)] = cand;
+    return cand;
+  }
+
+  // Walk the chain from `cand`, best match for `pos`. prev_len biases the
+  // search (only matches strictly longer matter in lazy mode).
+  inline void find(size_t pos, int32_t cand, int prev_len, int& best_len,
+                   uint32_t& best_dist) {
+    best_len = 0;
+    best_dist = 0;
+    int chain = cfg.chain;
+    if (prev_len >= cfg.good) chain >>= 2;  // zlib good_match shortcut
+    int max_len = (int)std::min<size_t>(kMaxMatch, n - pos);
+    while (cand >= 0 && (size_t)cand + kWindow > pos && chain-- > 0) {
+      int len = match_len(src + pos, src + cand, max_len);
+      if (len > best_len) {
+        best_len = len;
+        best_dist = (uint32_t)(pos - cand);
+        if (len >= cfg.nice) break;
+      }
+      int32_t nxt = prev[cand & (kWindow - 1)];
+      cand = ((size_t)nxt < (size_t)cand) ? nxt : -1;
+    }
+  }
+
+  inline void insert_span(size_t from, size_t to) {  // [from, to)
+    size_t lim = n >= (size_t)kMinMatch ? n - kMinMatch + 1 : 0;
+    for (size_t i = from; i < std::min(to, lim); i++) insert(i);
+  }
+};
+
+void emit_match(TokenStream& ts, int len, uint32_t dist) {
+  ts.tokens.push_back(0x80000000u | ((uint32_t)(len - 3) << 16) | (dist - 1));
+  ts.lit_freq[257 + kLenCode.idx[len - 3]]++;
+  ts.dist_freq[kDistCode.code(dist)]++;
+  ts.n_tokens_match++;
+}
+
+void tokenize(const uint8_t* src, size_t start, size_t end, int level,
+              TokenStream& ts) {
+  const LevelCfg cfg = kLevels[level];
+  const size_t n = end;
+  Matcher m(src, end, cfg);
+  size_t pos = start;
+  size_t lit_start = start;
+  int miss_streak = 0;
+  const bool skip_ahead = level == 1;
+  const bool lazy_eval = level >= 4;  // zlib deflate_slow territory
+
+  auto flush_literals = [&](size_t upto) {
+    if (upto > lit_start) {
+      size_t run = upto - lit_start;
+      ts.n_literals += run;
+      for (size_t i = lit_start; i < upto; i++) ts.lit_freq[src[i]]++;
+      while (run > 0) {
+        uint32_t chunk = run > 0x7FFFFFFF ? 0x7FFFFFFF : (uint32_t)run;
+        ts.tokens.push_back(chunk);
+        run -= chunk;
+      }
+    }
+  };
+
+  if (!lazy_eval) {
+    // Greedy path (levels 1-3; reference lz77.nim is greedy at all levels).
+    while (pos + kMinMatch <= n) {
+      int32_t cand = m.insert(pos);
+      int best_len;
+      uint32_t best_dist;
+      m.find(pos, cand, 0, best_len, best_dist);
+      if (best_len >= kMinMatch) {
+        flush_literals(pos);
+        emit_match(ts, best_len, best_dist);
+        size_t ins_end = pos + (size_t)best_len;
+        size_t ins = pos + 1;
+        if (level <= 3 && best_len > cfg.lazy * 8) ins = ins_end;  // speed cap
+        m.insert_span(ins, ins_end);
+        pos += best_len;
+        lit_start = pos;
+        miss_streak = 0;
+      } else {
+        miss_streak++;
+        pos += skip_ahead ? 1 + (miss_streak >> 5) : 1;
+      }
+    }
+  } else {
+    // Lazy path (levels 4-9): defer each match one position; if the next
+    // position matches longer, the previous byte becomes a literal.
+    int prev_len = 0;
+    uint32_t prev_dist = 0;
+    bool have_prev = false;
+    while (pos + kMinMatch <= n) {
+      int32_t cand = m.insert(pos);
+      int len;
+      uint32_t dist;
+      if (have_prev && prev_len >= cfg.lazy) {
+        len = 0;  // prev match is long enough; don't bother searching
+        dist = 0;
+      } else {
+        m.find(pos, cand, have_prev ? prev_len : 0, len, dist);
+        // Discard barely-minimal matches that are far away (zlib TOO_FAR).
+        if (len == kMinMatch && dist > 4096) len = 0;
+      }
+      if (have_prev && prev_len >= len) {
+        // Previous match wins: it started at pos-1.
+        flush_literals(pos - 1);
+        emit_match(ts, prev_len, prev_dist);
+        size_t match_end = pos - 1 + (size_t)prev_len;
+        m.insert_span(pos + 1, match_end);
+        pos = match_end;
+        lit_start = pos;
+        have_prev = false;
+      } else if (len >= kMinMatch) {
+        // Current match becomes the new pending match; pos-1 (if pending)
+        // degrades to a literal inside the running literal span.
+        prev_len = len;
+        prev_dist = dist;
+        have_prev = true;
+        pos++;
+      } else {
+        have_prev = false;
+        pos++;
+      }
+    }
+    if (have_prev) {
+      // Pending match at the very end.
+      flush_literals(pos - 1);
+      emit_match(ts, prev_len, prev_dist);
+      size_t match_end = pos - 1 + (size_t)prev_len;
+      lit_start = std::min(match_end, n);
+      pos = lit_start;
+    }
+  }
+  flush_literals(n);
+  ts.lit_freq[256]++;  // end-of-block
+}
+
+// ---------------------------------------------------------------------------
+// Block emission: choose min(stored, fixed, dynamic) like zlib; the reference
+// uses a >=98%-literal stored fallback + small-block fixed rule instead
+// (deflate.nim:275-280) — exact cost comparison is strictly better.
+// ---------------------------------------------------------------------------
+
+struct CodeSet {
+  uint8_t litlen_lens[286] = {0};
+  uint8_t dist_lens[30] = {0};
+  uint16_t litlen_codes[286];
+  uint16_t dist_codes[30];
+};
+
+void fixed_codeset(CodeSet& cs) {
+  for (int i = 0; i < 144; i++) cs.litlen_lens[i] = 8;
+  for (int i = 144; i < 256; i++) cs.litlen_lens[i] = 9;
+  for (int i = 256; i < 280; i++) cs.litlen_lens[i] = 7;
+  for (int i = 280; i < 286; i++) cs.litlen_lens[i] = 8;
+  for (int i = 0; i < 30; i++) cs.dist_lens[i] = 5;
+  // canonical over the full 288 fixed alphabet, then truncate
+  uint8_t full[288];
+  for (int i = 0; i < 144; i++) full[i] = 8;
+  for (int i = 144; i < 256; i++) full[i] = 9;
+  for (int i = 256; i < 280; i++) full[i] = 7;
+  for (int i = 280; i < 288; i++) full[i] = 8;
+  uint16_t codes[288];
+  canonical_codes(full, 288, codes);
+  memcpy(cs.litlen_codes, codes, sizeof(uint16_t) * 286);
+  canonical_codes(cs.dist_lens, 30, cs.dist_codes);
+}
+
+// Code-length RLE for the dynamic header (RFC 1951 §3.2.7). Emits symbol
+// stream into `out` as (sym, extra_val, extra_bits) triples packed in uint32.
+size_t rle_code_lengths(const uint8_t* lens, int n, uint32_t* out,
+                        uint32_t* cl_freq) {
+  size_t m = 0;
+  int i = 0;
+  while (i < n) {
+    int v = lens[i];
+    int run = 1;
+    while (i + run < n && lens[i + run] == v) run++;
+    if (v == 0) {
+      int r = run;
+      while (r >= 3) {
+        int take = std::min(r, 138);
+        if (take > 10) {
+          out[m++] = 18u | ((uint32_t)(take - 11) << 8) | (7u << 24);
+          cl_freq[18]++;
+        } else {
+          out[m++] = 17u | ((uint32_t)(take - 3) << 8) | (3u << 24);
+          cl_freq[17]++;
+        }
+        r -= take;
+      }
+      while (r-- > 0) {
+        out[m++] = 0;
+        cl_freq[0]++;
+      }
+    } else {
+      out[m++] = (uint32_t)v;
+      cl_freq[v]++;
+      int r = run - 1;
+      while (r >= 3) {
+        int take = std::min(r, 6);
+        out[m++] = 16u | ((uint32_t)(take - 3) << 8) | (2u << 24);
+        cl_freq[16]++;
+        r -= take;
+      }
+      while (r-- > 0) {
+        out[m++] = (uint32_t)v;
+        cl_freq[v]++;
+      }
+    }
+    i += run;
+  }
+  return m;
+}
+
+uint64_t huffman_cost_bits(const TokenStream& ts, const uint8_t* ll_lens,
+                           const uint8_t* d_lens) {
+  uint64_t bits = 0;
+  for (int s = 0; s < 286; s++)
+    if (ts.lit_freq[s]) {
+      if (!ll_lens[s]) return UINT64_MAX;  // symbol not codable
+      bits += (uint64_t)ts.lit_freq[s] * ll_lens[s];
+      if (s >= 265 && s < 285) bits += (uint64_t)ts.lit_freq[s] * kLengthExtra[s - 257];
+    }
+  for (int s = 0; s < 30; s++)
+    if (ts.dist_freq[s]) {
+      if (!d_lens[s]) return UINT64_MAX;
+      bits += (uint64_t)ts.dist_freq[s] * (d_lens[s] + kDistExtra[s]);
+    }
+  return bits;
+}
+
+void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
+                 const TokenStream& ts, const CodeSet& cs) {
+  size_t pos = start;
+  for (uint32_t t : ts.tokens) {
+    if (t & 0x80000000u) {
+      uint32_t len = ((t >> 16) & 0xFF) + 3;
+      uint32_t dist = (t & 0xFFFF) + 1;
+      int li = kLenCode.idx[len - 3];
+      int ls = 257 + li;
+      bw.add(cs.litlen_codes[ls], cs.litlen_lens[ls]);
+      if (kLengthExtra[li]) bw.add(len - kBaseLengths[li], kLengthExtra[li]);
+      int di = kDistCode.code(dist);
+      bw.add(cs.dist_codes[di], cs.dist_lens[di]);
+      if (kDistExtra[di]) bw.add(dist - kBaseDists[di], kDistExtra[di]);
+      pos += len;
+    } else {
+      for (uint32_t k = 0; k < t; k++) {
+        uint8_t b = src[pos + k];
+        bw.add(cs.litlen_codes[b], cs.litlen_lens[b]);
+      }
+      pos += t;
+    }
+  }
+  bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);  // end of block
+}
+
+void emit_stored(BitWriter& bw, const uint8_t* src, size_t start, size_t len,
+                 bool final_block) {
+  size_t off = 0;
+  do {
+    size_t chunk = std::min(len - off, kMaxStored);
+    bool last_chunk = (off + chunk == len);
+    bw.add((final_block && last_chunk) ? 1 : 0, 1);
+    bw.add(0, 2);
+    bw.align_byte();
+    bw.add((uint32_t)chunk & 0xFFFF, 16);
+    bw.add((~(uint32_t)chunk) & 0xFFFF, 16);
+    // write payload bytes directly (writer is byte-aligned with <8 buffered
+    // bits == 0 after align; flush them)
+    while (bw.cnt >= 8) {
+      if (bw.pos < bw.cap)
+        bw.dst[bw.pos] = (uint8_t)bw.buf;
+      else
+        bw.full = true;
+      bw.pos++;
+      bw.buf >>= 8;
+      bw.cnt -= 8;
+    }
+    bw.write_bytes(src + start + off, chunk);
+    off += chunk;
+  } while (off < len);
+}
+
+int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
+                     uint8_t* dst, size_t dst_cap) {
+  if (level < -2 || level > 9) return ZT_ERR_MALFORMED;
+  BitWriter bw(dst, dst_cap);
+
+  if (src_len == 0) {
+    // single empty block (fixed huffman: just EOB) — or an empty stored block
+    bw.add(1, 1);
+    bw.add(1, 2);
+    CodeSet cs;
+    fixed_codeset(cs);
+    bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);
+    size_t out = bw.finish();
+    return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+  }
+
+  if (level == 0) {
+    bw.add(0, 0);  // no-op; emit_stored handles headers
+    emit_stored(bw, src, 0, src_len, true);
+    size_t out = bw.finish();
+    return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+  }
+
+  size_t nblocks = (src_len + kMaxBlock - 1) / kMaxBlock;
+  for (size_t b = 0; b < nblocks; b++) {
+    size_t start = b * kMaxBlock;
+    size_t end = std::min(start + kMaxBlock, src_len);
+    bool final_block = (b == nblocks - 1);
+
+    TokenStream ts;
+    if (level == -2) {
+      // Huffman-only: one big literal run (reference encodeAllLiterals,
+      // deflate.nim:153).
+      size_t run = end - start;
+      ts.n_literals = run;
+      for (size_t i = start; i < end; i++) ts.lit_freq[src[i]]++;
+      while (run > 0) {
+        uint32_t chunk = run > 0x7FFFFFFF ? 0x7FFFFFFF : (uint32_t)run;
+        ts.tokens.push_back(chunk);
+        run -= chunk;
+      }
+      ts.lit_freq[256]++;
+    } else {
+      int lvl = level == -1 ? 6 : level;
+      tokenize(src, start, end, lvl, ts);
+    }
+
+    // Build dynamic codes.
+    CodeSet dyn;
+    build_code_lengths(ts.lit_freq, 286, 15, dyn.litlen_lens);
+    build_code_lengths(ts.dist_freq, 30, 15, dyn.dist_lens);
+    if (!dyn.litlen_lens[256]) dyn.litlen_lens[256] = 15;  // EOB always codable
+    // Ensure at least 2 litlen codes and 1 dist slot for header sanity.
+    {
+      int nz = 0;
+      for (int i = 0; i < 286; i++) nz += dyn.litlen_lens[i] != 0;
+      if (nz < 2) {
+        for (int i = 0; i < 286 && nz < 2; i++)
+          if (!dyn.litlen_lens[i]) {
+            dyn.litlen_lens[i] = 1;
+            nz++;
+          }
+        if (dyn.litlen_lens[256] > 1) dyn.litlen_lens[256] = 1;
+      }
+    }
+    canonical_codes(dyn.litlen_lens, 286, dyn.litlen_codes);
+    canonical_codes(dyn.dist_lens, 30, dyn.dist_codes);
+
+    // Dynamic header cost.
+    int hlit = 286;
+    while (hlit > 257 && dyn.litlen_lens[hlit - 1] == 0) hlit--;
+    int hdist = 30;
+    while (hdist > 1 && dyn.dist_lens[hdist - 1] == 0) hdist--;
+    uint8_t all_lens[286 + 30];
+    memcpy(all_lens, dyn.litlen_lens, hlit);
+    memcpy(all_lens + hlit, dyn.dist_lens, hdist);
+    uint32_t rle[286 + 30];
+    uint32_t cl_freq[19] = {0};
+    size_t rle_n = rle_code_lengths(all_lens, hlit + hdist, rle, cl_freq);
+    uint8_t cl_lens[19];
+    build_code_lengths(cl_freq, 19, 7, cl_lens);
+    uint16_t cl_codes[19];
+    canonical_codes(cl_lens, 19, cl_codes);
+    int hclen = 19;
+    while (hclen > 4 && cl_lens[kClclOrder[hclen - 1]] == 0) hclen--;
+
+    uint64_t header_bits = 5 + 5 + 4 + 3ull * hclen;
+    for (size_t i = 0; i < rle_n; i++) {
+      uint32_t sym = rle[i] & 0xFF;
+      header_bits += cl_lens[sym] + (rle[i] >> 24);
+    }
+    uint64_t dyn_bits = 3 + header_bits +
+                        huffman_cost_bits(ts, dyn.litlen_lens, dyn.dist_lens);
+
+    CodeSet fix;
+    fixed_codeset(fix);
+    uint64_t fix_cost = huffman_cost_bits(ts, fix.litlen_lens, fix.dist_lens);
+    uint64_t fix_bits = fix_cost == UINT64_MAX ? UINT64_MAX : 3 + fix_cost;
+
+    size_t blen = end - start;
+    uint64_t stored_bits =
+        ((blen + kMaxStored - 1) / kMaxStored) * 5ull * 8 + blen * 8ull + 7;
+
+    if (stored_bits < dyn_bits && stored_bits < fix_bits && level != -2) {
+      emit_stored(bw, src, start, blen, final_block);
+    } else if (fix_bits <= dyn_bits) {
+      bw.add(final_block ? 1 : 0, 1);
+      bw.add(1, 2);
+      emit_tokens(bw, src, start, ts, fix);
+    } else {
+      bw.add(final_block ? 1 : 0, 1);
+      bw.add(2, 2);
+      bw.add((uint32_t)(hlit - 257), 5);
+      bw.add((uint32_t)(hdist - 1), 5);
+      bw.add((uint32_t)(hclen - 4), 4);
+      for (int i = 0; i < hclen; i++) bw.add(cl_lens[kClclOrder[i]], 3);
+      for (size_t i = 0; i < rle_n; i++) {
+        uint32_t sym = rle[i] & 0xFF;
+        bw.add(cl_codes[sym], cl_lens[sym]);
+        uint32_t extra = rle[i] >> 24;
+        if (extra) bw.add((rle[i] >> 8) & 0xFFFF, (int)extra);
+      }
+      emit_tokens(bw, src, start, ts, dyn);
+    }
+    if (bw.full) return ZT_ERR_DST_FULL;
+  }
+  size_t out = bw.finish();
+  return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+uint32_t zt_crc32(const uint8_t* data, size_t len) { return crc32(data, len); }
+
+uint32_t zt_crc32_update(uint32_t crc, const uint8_t* data, size_t len) {
+  return crc32(data, len, crc);
+}
+
+uint32_t zt_adler32(const uint8_t* data, size_t len) {
+  return adler32(data, len);
+}
+
+uint32_t zt_adler32_update(uint32_t adler, const uint8_t* data, size_t len) {
+  return adler32(data, len, adler);
+}
+
+// Inflate a raw deflate stream beginning at `start_bit` (bit offset into src).
+// Returns bytes written (>=0), -1 malformed, -2 output buffer too small.
+// *end_bit receives the bit offset just past the final block.
+int64_t zt_inflate(const uint8_t* src, size_t src_len, size_t start_bit,
+                   uint8_t* dst, size_t dst_cap, size_t* end_bit) {
+  return inflate_impl(src, src_len, start_bit, dst, dst_cap, end_bit);
+}
+
+// Compress src as a raw deflate stream. Returns bytes written or -2 if dst
+// is too small (use zt_deflate_bound).
+int64_t zt_deflate(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
+                   size_t dst_cap) {
+  return deflate_impl(src, src_len, level, dst, dst_cap);
+}
+
+size_t zt_deflate_bound(size_t src_len) {
+  return src_len + (src_len / kMaxStored + 1) * 5 + 64;
+}
+
+}  // extern "C"
