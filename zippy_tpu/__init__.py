@@ -7,6 +7,15 @@ runtime; large inputs shard block-parallel across a device mesh.
 """
 
 from .api import compress, uncompress
+from .tarballs import extract_all as extract_all_tarball
+from .tarballs_v1 import Tarball, TarballEntry, create_tarball
+from .ziparchives import (
+    ZipArchiveReader,
+    create_zip_archive,
+    extract_all as extract_all_zip,
+    open_zip_archive,
+)
+from .ziparchives_v1 import ArchiveEntry, ZipArchive
 from .common import (
     BestCompression,
     BestSpeed,
@@ -26,6 +35,16 @@ __version__ = "0.1.0"
 __all__ = [
     "compress",
     "uncompress",
+    "ZipArchiveReader",
+    "open_zip_archive",
+    "create_zip_archive",
+    "extract_all_zip",
+    "ZipArchive",
+    "ArchiveEntry",
+    "Tarball",
+    "TarballEntry",
+    "create_tarball",
+    "extract_all_tarball",
     "CompressedDataFormat",
     "ZippyError",
     "BestCompression",

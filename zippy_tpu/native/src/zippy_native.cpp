@@ -466,53 +466,68 @@ struct BitWriter {
 
 void build_code_lengths(const uint32_t* freq, int n, int limit, uint8_t* lens) {
   memset(lens, 0, n);
-  std::vector<int> active;
+  int active[288];
+  int na = 0;
   for (int i = 0; i < n; i++)
-    if (freq[i]) active.push_back(i);
-  if (active.empty()) return;
-  if (active.size() == 1) {
+    if (freq[i]) active[na++] = i;
+  if (na == 0) return;
+  if (na == 1) {
     lens[active[0]] = 1;
     return;
   }
 
-  struct Item {
-    uint64_t w;
-    std::vector<uint16_t> syms;
+  // Items are int32 handles: negative = leaf (~sym), non-negative = index
+  // into the package arena. Weights ride alongside in (w, item) pairs.
+  // This keeps the package-merge inner loop allocation-free (the naive
+  // formulation copies per-item symbol lists and is ~50x slower).
+  struct Node {
+    int32_t left, right;
   };
-  // Level `limit` items: one per active symbol.
-  std::vector<Item> prev;
-  for (int s : active) prev.push_back({freq[s], {(uint16_t)s}});
-  std::sort(prev.begin(), prev.end(),
-            [](const Item& a, const Item& b) { return a.w < b.w; });
+  std::vector<Node> arena;
+  arena.reserve((size_t)na * limit / 2);
+  using WItem = std::pair<uint64_t, int32_t>;
+  std::vector<WItem> leaves(na);
+  for (int i = 0; i < na; i++)
+    leaves[i] = {freq[active[i]], ~active[i]};
+  std::sort(leaves.begin(), leaves.end());  // (w, item) pair order: determinism
 
-  std::vector<Item> merged = prev;
+  std::vector<WItem> merged = leaves, packages, next;
   for (int level = 1; level < limit; level++) {
-    // Package pairs from `merged`, then merge with the original leaves.
-    std::vector<Item> packages;
+    packages.clear();
     for (size_t i = 0; i + 1 < merged.size(); i += 2) {
-      Item it;
-      it.w = merged[i].w + merged[i + 1].w;
-      it.syms = merged[i].syms;
-      it.syms.insert(it.syms.end(), merged[i + 1].syms.begin(),
-                     merged[i + 1].syms.end());
-      packages.push_back(std::move(it));
+      arena.push_back({merged[i].second, merged[i + 1].second});
+      packages.push_back(
+          {merged[i].first + merged[i + 1].first, (int32_t)arena.size() - 1});
     }
-    std::vector<Item> next;
-    next.reserve(prev.size() + packages.size());
+    next.clear();
+    next.reserve(leaves.size() + packages.size());
     size_t a = 0, b = 0;
-    while (a < prev.size() || b < packages.size()) {
-      if (b >= packages.size() || (a < prev.size() && prev[a].w <= packages[b].w))
-        next.push_back(prev[a++]);
+    while (a < leaves.size() || b < packages.size()) {
+      if (b >= packages.size() ||
+          (a < leaves.size() && leaves[a].first <= packages[b].first))
+        next.push_back(leaves[a++]);
       else
-        next.push_back(std::move(packages[b++]));
+        next.push_back(packages[b++]);
     }
-    merged = std::move(next);
+    merged.swap(next);
   }
   // Select the 2(n_active - 1) smallest items; each appearance of a symbol
-  // bumps its code length by one.
-  size_t take = 2 * (active.size() - 1);
-  for (size_t i = 0; i < take && i < merged.size(); i++)
-    for (uint16_t s : merged[i].syms) lens[s]++;
+  // bumps its code length by one. Package trees are at most `limit` deep.
+  size_t take = 2 * ((size_t)na - 1);
+  int32_t stack[64];
+  for (size_t i = 0; i < take && i < merged.size(); i++) {
+    int sp = 0;
+    stack[sp++] = merged[i].second;
+    while (sp) {
+      int32_t it = stack[--sp];
+      if (it < 0) {
+        lens[~it]++;
+      } else {
+        stack[sp++] = arena[it].left;
+        stack[sp++] = arena[it].right;
+      }
+    }
+  }
 }
 
 // Canonical codes, bit-reversed for LSB-first emission (RFC 1951 §3.2.2).
@@ -651,8 +666,63 @@ void emit_match(TokenStream& ts, int len, uint32_t dist) {
   ts.n_tokens_match++;
 }
 
+inline void flush_literal_run(TokenStream& ts, const uint8_t* src,
+                              size_t from, size_t upto) {
+  if (upto <= from) return;
+  size_t run = upto - from;
+  ts.n_literals += run;
+  for (size_t i = from; i < upto; i++) ts.lit_freq[src[i]]++;
+  while (run > 0) {
+    uint32_t chunk = run > 0x7FFFFFFF ? 0x7FFFFFFF : (uint32_t)run;
+    ts.tokens.push_back(chunk);
+    run -= chunk;
+  }
+}
+
+// BestSpeed (level 1) matcher: direct-mapped 14-bit hash table, single probe,
+// snappy-style skip-ahead through incompressible data (reference snappy.nim:
+// encodeFragment :12, skip heuristic :90). No chains, no lazy evaluation.
+void tokenize_fast(const uint8_t* src, size_t start, size_t end,
+                   TokenStream& ts) {
+  const int kFastBits = 14;
+  std::vector<int32_t> table((size_t)1 << kFastBits, -1);
+  auto fhash = [](uint32_t v) { return (v * 0x9E3779B1u) >> (32 - kFastBits); };
+  size_t pos = start, lit_start = start;
+  uint32_t skip = 32;
+  while (pos + kMinMatch <= end) {
+    uint32_t v = read32(src + pos);
+    uint32_t h = fhash(v);
+    int32_t cand = table[h];
+    table[h] = (int32_t)pos;
+    if (cand >= 0 && pos - (size_t)cand <= kWindow &&
+        read32(src + cand) == v) {
+      int max_len = (int)std::min<size_t>(kMaxMatch, end - pos);
+      int len = match_len(src + pos, src + cand, max_len);
+      flush_literal_run(ts, src, lit_start, pos);
+      emit_match(ts, len, (uint32_t)(pos - cand));
+      size_t e = pos + (size_t)len;
+      // Seed the table near the match end so back-to-back matches chain.
+      if (e >= 2 && e - 2 + 4 <= end)
+        table[fhash(read32(src + e - 2))] = (int32_t)(e - 2);
+      if (e - 1 + 4 <= end)
+        table[fhash(read32(src + e - 1))] = (int32_t)(e - 1);
+      pos = e;
+      lit_start = pos;
+      skip = 32;
+    } else {
+      pos += skip++ >> 5;
+    }
+  }
+  flush_literal_run(ts, src, lit_start, end);
+  ts.lit_freq[256]++;
+}
+
 void tokenize(const uint8_t* src, size_t start, size_t end, int level,
               TokenStream& ts) {
+  if (level == 1) {
+    tokenize_fast(src, start, end, ts);
+    return;
+  }
   const LevelCfg cfg = kLevels[level];
   const size_t n = end;
   Matcher m(src, end, cfg);
