@@ -8,12 +8,18 @@ ZIPPY_TPU_TEST_REAL=1 to run against whatever real devices exist instead.
 import os
 
 if not os.environ.get("ZIPPY_TPU_TEST_REAL"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The axon sitecustomize force-sets jax_platforms="axon,cpu" at
+    # interpreter start; the config value wins over the env var, so it must
+    # be overridden at the same level.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import pytest

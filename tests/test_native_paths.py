@@ -1,0 +1,85 @@
+"""Native runtime specifics: one-call container codecs, multi-threaded
+deflate splicing, and error-code mapping."""
+
+import gzip
+import os
+import struct
+import zlib
+
+import pytest
+
+from zippy_tpu import native
+from zippy_tpu.common import ZippyError
+
+
+def test_gzip_one_call_roundtrip():
+    data = b"one-call gzip " * 1000
+    blob = native.gzip_compress(data, 6, name_pad=7)
+    assert gzip.decompress(blob) == data
+    payload, consumed = native.gzip_uncompress(blob)
+    assert payload == data and consumed == len(blob)
+
+
+def test_gzip_one_call_bad_crc():
+    data = b"crc check " * 100
+    blob = bytearray(native.gzip_compress(data, 6))
+    blob[-6] ^= 0xFF  # corrupt stored crc
+    with pytest.raises(ZippyError, match="Checksum"):
+        native.gzip_uncompress(bytes(blob))
+
+
+def test_gzip_one_call_bad_isize():
+    data = b"isize check " * 100
+    blob = bytearray(native.gzip_compress(data, 6))
+    blob[-1] ^= 0xFF  # corrupt ISIZE
+    with pytest.raises(ZippyError, match="Size"):
+        native.gzip_uncompress(bytes(blob))
+
+
+def test_zlib_one_call_roundtrip():
+    data = os.urandom(3000) + b"tail" * 500
+    blob = native.zlib_compress(data, 4)
+    assert zlib.decompress(blob) == data
+    assert native.zlib_uncompress(blob) == data
+    # interop: decode CPython-produced zlib
+    assert native.zlib_uncompress(zlib.compress(data, 9)) == data
+
+
+def test_zlib_one_call_bad_adler():
+    data = b"adler " * 200
+    blob = bytearray(native.zlib_compress(data, 6))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ZippyError, match="Checksum"):
+        native.zlib_uncompress(bytes(blob))
+
+
+@pytest.mark.parametrize("level", [-2, -1, 1, 6, 9])
+def test_mt_deflate_splice(level):
+    # > 512 KiB triggers the multi-threaded split; the spliced stream must
+    # decode exactly and end with no slack bytes after the final block.
+    rng_chunks = []
+    base = open("/root/reference/tests/data/urls.10K", "rb").read()
+    data = (base * 2)[: 1 << 20]
+    blob = native.deflate(data, level)
+    do = zlib.decompressobj(-15)
+    out = do.decompress(blob)
+    assert out == data
+    assert do.eof
+    assert len(do.unused_data) == 0, "slack bytes after final block"
+
+
+def test_mt_deflate_isize_trailer_alignment():
+    # Regression: the final sub-stream used to be byte-padded relative to its
+    # own start, leaving >7 bits of post-EOB padding after splicing; CPython's
+    # gzip then misread the trailer.
+    data = (open("/root/reference/tests/data/urls.10K", "rb").read())
+    for level in (-1, 6):
+        blob = native.gzip_compress(data, level)
+        assert gzip.decompress(blob) == data
+
+
+def test_deflate_bound_covers_huffman_only():
+    # Level -2 cannot fall back to stored blocks; bound must still hold.
+    data = os.urandom(1 << 20)
+    blob = native.deflate(data, -2)
+    assert zlib.decompress(blob, wbits=-15) == data

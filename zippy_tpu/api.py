@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import struct
 
-from . import engine, gzip_format
+from . import engine, gzip_format, native
 from .common import (
     CompressedDataFormat,
     DefaultCompression,
@@ -47,6 +47,8 @@ def compress(
         return gzip_format.write_member(data, level, engine_name=engine_name)
 
     if data_format == dfZlib:
+        if engine_name in ("auto", "native"):
+            return native.zlib_compress(data, level)
         cm = 8
         cinfo = 7
         cmf = (cinfo << 4) | cm
@@ -110,14 +112,7 @@ def uncompress(
             raise ZippyError("Invalid header")
         if flg & 0b0010_0000:
             raise ZippyError("Preset dictionary is not yet supported")
-        payload, end_bit = engine.inflate(data, 16)
-        tpos = (end_bit + 7) // 8
-        if tpos + 4 > len(data):
-            raise ZippyError("Invalid compressed data")
-        checksum = struct.unpack_from(">I", data, tpos)[0]
-        if checksum != engine.adler32(payload):
-            raise ZippyError("Checksum verification failed")
-        return payload
+        return native.zlib_uncompress(data)
 
     if data_format == dfDeflate:
         payload, _ = engine.inflate(data)

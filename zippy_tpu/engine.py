@@ -29,21 +29,18 @@ def device_available() -> bool:
 
 
 def deflate(data: bytes, level: int, engine: str = "auto") -> bytes:
-    """Raw DEFLATE encode via the chosen engine."""
-    if engine == "native":
-        return native.deflate(data, level)
-    if engine == "device" or (
-        engine == "auto"
-        and len(data) >= DEVICE_MIN_BYTES
-        and level != 0
-        and device_available()
-    ):
-        try:
-            from .ops import deflate_device
+    """Raw DEFLATE encode via the chosen engine.
 
-            return deflate_device.deflate(data, level)
-        except ImportError:
-            pass
+    "auto" currently always picks the native engine: for host-resident
+    buffers the host<->device link (~0.2 GB/s on this setup) dominates any
+    on-chip win. The device pipeline (ops/deflate_device.py) is for
+    device-resident data and multi-chip scale-out (zippy_tpu.parallel);
+    select it explicitly with engine="device".
+    """
+    if engine == "device":
+        from .ops import deflate_device
+
+        return deflate_device.deflate(data, level)
     return native.deflate(data, level)
 
 

@@ -17,6 +17,7 @@ import os
 import struct
 
 from . import engine
+from . import native as native_mod
 from .common import ZippyError
 
 GZIP_MAGIC = b"\x1f\x8b"
@@ -37,6 +38,11 @@ def write_member(
     engine_name: str = "auto",
 ) -> bytes:
     """One gzip member: header + deflate stream + crc32/ISIZE trailer."""
+    if extra is None and engine_name in ("auto", "native"):
+        # Single-call native fast path (header + deflate + trailer in C++).
+        name_pad = os.urandom(1)[0] % 26 if random_name_padding else -1
+        return native_mod.gzip_compress(src, level, name_pad)
+
     flg = 0
     fields = b""
     if extra is not None:
@@ -134,14 +140,20 @@ def read_member(src: bytes, pos: int = 0, trust_size: bool = False) -> tuple[byt
 
 
 def uncompress_gzip(src: bytes, trust_size: bool = False) -> bytes:
-    """Decode a gzip stream; concatenates all members (CPython semantics)."""
+    """Decode a gzip stream; concatenates all members (CPython semantics).
+
+    Whole-member decode (header parse, inflate, crc32 + ISIZE verify) is a
+    single native call; `trust_size` is implicit — the native path always
+    preallocates from the ISIZE trailer, bounded by the 1032:1 DEFLATE
+    expansion cap (reference gzip.nim:72-77 semantics).
+    """
+    del trust_size  # always on in the native path
     parts = []
     pos = 0
-    first = True
     while True:
-        payload, pos = read_member(src, pos, trust_size=trust_size and first)
+        payload, consumed = native_mod.gzip_uncompress(src[pos:])
         parts.append(payload)
-        first = False
+        pos += consumed
         # Trailing zero padding is tolerated (some tar tools pad archives).
         rest = src[pos:]
         if not rest or rest.strip(b"\x00") == b"":

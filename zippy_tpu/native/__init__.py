@@ -15,6 +15,14 @@ from .build import ensure_built
 
 _ERR_MALFORMED = -1
 _ERR_DST_FULL = -2
+_ERR_CHECKSUM = -3
+_ERR_SIZE = -4
+
+_ERR_MESSAGES = {
+    _ERR_MALFORMED: "Invalid compressed data",
+    _ERR_CHECKSUM: "Checksum verification failed",
+    _ERR_SIZE: "Size verification failed",
+}
 
 
 @functools.cache
@@ -40,6 +48,25 @@ def _lib() -> ctypes.CDLL:
     ]
     lib.zt_deflate_bound.restype = ctypes.c_size_t
     lib.zt_deflate_bound.argtypes = [ctypes.c_size_t]
+    lib.zt_gzip_uncompress.restype = ctypes.c_int64
+    lib.zt_gzip_uncompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.zt_gzip_compress.restype = ctypes.c_int64
+    lib.zt_gzip_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.zt_zlib_uncompress.restype = ctypes.c_int64
+    lib.zt_zlib_uncompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.zt_zlib_compress.restype = ctypes.c_int64
+    lib.zt_zlib_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
     return lib
 
 
@@ -95,4 +122,80 @@ def deflate(data: bytes, level: int) -> bytes:
     rc = lib.zt_deflate(data, len(data), level, buf, cap)
     if rc < 0:
         raise ZippyError(f"deflate failed (code {rc})")
+    return buf.raw[:rc]
+
+
+# Output-size guesses for whole-stream decode. DEFLATE expands at most
+# 1032:1; the ISIZE hint is capped by that bound so a lying trailer can't
+# force a huge allocation.
+_MAX_EXPANSION = 1032
+
+
+def _grow_capped(cap: int, max_output: int | None) -> int:
+    cap = max(cap * 2, 1 << 16)
+    if max_output is not None and cap > max_output:
+        if cap // 2 >= max_output:
+            raise ZippyError("Uncompressed data too large")
+        cap = max_output
+    return cap
+
+
+def gzip_uncompress(data: bytes) -> tuple[bytes, int]:
+    """Decode ONE gzip member in a single native call (header + inflate +
+    crc/ISIZE verify). Returns (payload, bytes_consumed)."""
+    lib = _lib()
+    n = len(data)
+    if n < 18:
+        raise ZippyError("Invalid gzip data")
+    isize = int.from_bytes(data[-4:], "little")
+    cap = min(max(isize + 64, 1 << 12), n * _MAX_EXPANSION + 4096)
+    consumed = ctypes.c_size_t(0)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        rc = lib.zt_gzip_uncompress(data, n, buf, cap, ctypes.byref(consumed))
+        if rc >= 0:
+            return buf.raw[:rc], consumed.value
+        if rc == _ERR_DST_FULL:
+            cap = _grow_capped(cap, n * _MAX_EXPANSION + 4096)
+            continue
+        raise ZippyError(_ERR_MESSAGES.get(rc, "Invalid gzip data"))
+
+
+def gzip_compress(data: bytes, level: int, name_pad: int = -1) -> bytes:
+    """Encode a whole gzip member in one native call. name_pad >= 0 adds an
+    FNAME of that many filler chars (anti-oracle padding)."""
+    lib = _lib()
+    cap = lib.zt_deflate_bound(len(data)) + 64
+    buf = ctypes.create_string_buffer(cap)
+    rc = lib.zt_gzip_compress(data, len(data), level, buf, cap, name_pad)
+    if rc < 0:
+        raise ZippyError(f"gzip compress failed (code {rc})")
+    return buf.raw[:rc]
+
+
+def zlib_uncompress(data: bytes) -> bytes:
+    lib = _lib()
+    n = len(data)
+    if n < 6:
+        raise ZippyError("Invalid compressed data")
+    max_out = n * _MAX_EXPANSION + 4096
+    cap = min(max(8 * n, 1 << 16), max_out)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        rc = lib.zt_zlib_uncompress(data, n, buf, cap)
+        if rc >= 0:
+            return buf.raw[:rc]
+        if rc == _ERR_DST_FULL:
+            cap = _grow_capped(cap, max_out)
+            continue
+        raise ZippyError(_ERR_MESSAGES.get(rc, "Invalid compressed data"))
+
+
+def zlib_compress(data: bytes, level: int) -> bytes:
+    lib = _lib()
+    cap = lib.zt_deflate_bound(len(data)) + 16
+    buf = ctypes.create_string_buffer(cap)
+    rc = lib.zt_zlib_compress(data, len(data), level, buf, cap)
+    if rc < 0:
+        raise ZippyError(f"zlib compress failed (code {rc})")
     return buf.raw[:rc]

@@ -21,6 +21,7 @@ CXXFLAGS = [
     "-shared",
     "-fno-exceptions",
     "-march=native",
+    "-pthread",
     "-Wall",
 ]
 

@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 namespace {
 
@@ -362,8 +363,65 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       dist = &dyn_dist;
     }
 
-    // Symbol loop.
-    for (;;) {
+    // Symbol loop. Fast path: one unconditional refill guarantees >= 56
+    // buffered bits — enough for 3 literal codes (45) or one literal plus a
+    // full match header (15+15+5 then a second refill for the distance), so
+    // the inner decodes skip per-symbol refill/overrun checks. Destination
+    // writes keep 266 bytes of slack so match copies go unchecked. The
+    // careful loop below handles the tail and tight buffers.
+    const size_t src_bits = src_len * 8;
+    bool eob = false;
+    while (!eob && op + 300 <= dst_cap) {
+      br.refill();
+      if (br.consumed() > src_bits + 64) return ZT_ERR_MALFORMED;
+      int sym = litlen->decode(br);
+      if (sym < 256) {
+        if (sym < 0) return ZT_ERR_MALFORMED;
+        dst[op++] = (uint8_t)sym;
+        sym = litlen->decode(br);
+        if (sym < 256) {
+          if (sym < 0) return ZT_ERR_MALFORMED;
+          dst[op++] = (uint8_t)sym;
+          sym = litlen->decode(br);
+          if (sym < 256) {
+            if (sym < 0) return ZT_ERR_MALFORMED;
+            dst[op++] = (uint8_t)sym;
+            continue;
+          }
+        }
+      }
+      if (sym == 256) {
+        eob = true;
+        break;
+      }
+      if (sym > 285) return ZT_ERR_MALFORMED;
+      uint32_t li = sym - 257;
+      uint32_t length = kBaseLengths[li] + br.bits(kLengthExtra[li]);
+      br.refill();
+      int dsym = dist->decode(br);
+      if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
+      uint32_t distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
+      if (distance > op) return ZT_ERR_MALFORMED;
+      uint8_t* d = dst + op;
+      const uint8_t* s = d - distance;
+      op += length;
+      if (distance >= 8) {
+        // Overlap-safe 8-byte strided copy; slack absorbs the <=7 overrun.
+        size_t l = length;
+        do {
+          memcpy(d, s, 8);
+          d += 8;
+          s += 8;
+        } while (l > 8 && (l -= 8));
+      } else if (distance == 1) {
+        memset(d, s[0], length);
+      } else {
+        for (uint32_t k = 0; k < length; k++) d[k] = s[k];
+      }
+    }
+
+    // Careful tail loop (bounds-checked per symbol).
+    while (!eob) {
       if (br.overrun()) return ZT_ERR_MALFORMED;
       int sym = litlen->decode(br);
       if (sym < 0) return ZT_ERR_MALFORMED;
@@ -384,17 +442,7 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       uint8_t* d = dst + op;
       const uint8_t* s = d - distance;
       op += length;
-      if (distance >= 8 && op + 8 <= dst_cap) {
-        // Overlap-safe 8-byte strided copy with up-to-7-byte overrun slack.
-        size_t l = length;
-        do {
-          memcpy(d, s, 8);
-          d += 8;
-          s += 8;
-        } while (l > 8 && (l -= 8));
-      } else {
-        for (uint32_t k = 0; k < length; k++) d[k] = s[k];
-      }
+      for (uint32_t k = 0; k < length; k++) d[k] = s[k];
     }
   }
   if (br.overrun()) return ZT_ERR_MALFORMED;
@@ -455,6 +503,40 @@ struct BitWriter {
     else
       full = true;
     pos += n;
+  }
+  // Flush ALL buffered bits (memory is zero-padded to a byte boundary but
+  // the returned count is exact). For splicing non-final sub-streams.
+  size_t finish_bits() {
+    size_t nbits = pos * 8 + (size_t)cnt;
+    while (cnt > 0) {
+      if (pos < cap)
+        dst[pos] = (uint8_t)buf;
+      else
+        full = true;
+      pos++;
+      buf >>= 8;
+      cnt -= 8;
+    }
+    cnt = 0;
+    buf = 0;
+    return nbits;
+  }
+  // Append nbits of an LSB-first bit stream at the current (arbitrary)
+  // bit position. Used to join per-thread deflate sub-streams.
+  void append_stream(const uint8_t* p, size_t nbits) {
+    size_t i = 0;
+    while (nbits >= 32) {
+      uint32_t w;
+      memcpy(&w, p + i, 4);
+      add(w, 32);
+      i += 4;
+      nbits -= 32;
+    }
+    while (nbits >= 8) {
+      add(p[i++], 8);
+      nbits -= 8;
+    }
+    if (nbits) add(p[i] & ((1u << nbits) - 1), (int)nbits);
   }
 };
 
@@ -967,26 +1049,30 @@ void emit_stored(BitWriter& bw, const uint8_t* src, size_t start, size_t len,
   } while (off < len);
 }
 
+// Encode src as deflate blocks into dst. `mark_final` controls BFINAL on
+// the last block; when `pad_to_byte` is false the result is the exact BIT
+// length (callers splice sub-streams at arbitrary bit offsets), otherwise
+// the padded byte length.
 int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
-                     uint8_t* dst, size_t dst_cap) {
+                     uint8_t* dst, size_t dst_cap,
+                     bool mark_final = true, bool pad_to_byte = true) {
   if (level < -2 || level > 9) return ZT_ERR_MALFORMED;
   BitWriter bw(dst, dst_cap);
 
   if (src_len == 0) {
     // single empty block (fixed huffman: just EOB) — or an empty stored block
-    bw.add(1, 1);
+    bw.add(mark_final ? 1 : 0, 1);
     bw.add(1, 2);
     CodeSet cs;
     fixed_codeset(cs);
     bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);
-    size_t out = bw.finish();
+    size_t out = pad_to_byte ? bw.finish() : bw.finish_bits();
     return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
   }
 
   if (level == 0) {
-    bw.add(0, 0);  // no-op; emit_stored handles headers
-    emit_stored(bw, src, 0, src_len, true);
-    size_t out = bw.finish();
+    emit_stored(bw, src, 0, src_len, mark_final);
+    size_t out = pad_to_byte ? bw.finish() : bw.finish_bits();
     return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
   }
 
@@ -994,7 +1080,7 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
   for (size_t b = 0; b < nblocks; b++) {
     size_t start = b * kMaxBlock;
     size_t end = std::min(start + kMaxBlock, src_len);
-    bool final_block = (b == nblocks - 1);
+    bool final_block = (b == nblocks - 1) && mark_final;
 
     TokenStream ts;
     if (level == -2) {
@@ -1093,8 +1179,178 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
     }
     if (bw.full) return ZT_ERR_DST_FULL;
   }
+  size_t out = pad_to_byte ? bw.finish() : bw.finish_bits();
+  return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+}
+
+// ---------------------------------------------------------------------------
+// Multi-threaded deflate: split the input at 64 KiB-aligned boundaries, run
+// deflate_impl per part on a thread (LZ77 state never crosses parts, like the
+// reference's independent 4 MiB blocks, deflate.nim:228-237), then splice the
+// per-part bit streams. Output differs from 1-thread output (window resets at
+// part boundaries) but is a valid stream; threshold keeps the ratio cost tiny.
+// ---------------------------------------------------------------------------
+
+const size_t kMtMinInput = 512 * 1024;   // don't thread below this
+const size_t kMtMinPart = 256 * 1024;    // at least this many bytes per part
+
+size_t deflate_bound(size_t n) {
+  // n/6 slack covers HuffmanOnly (level -2) on incompressible data, which
+  // cannot fall back to stored blocks (fixed literal codes are <= 9 bits,
+  // so worst case is 9/8 = 1.125x plus per-block headers).
+  return n + n / 6 + (n / kMaxStored + 1) * 5 + 256;
+}
+
+int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
+                   size_t dst_cap) {
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t max_parts = std::min<size_t>(hw ? hw : 1, src_len / kMtMinPart);
+  if (level == 0 || src_len < kMtMinInput || max_parts < 2)
+    return deflate_impl(src, src_len, level, dst, dst_cap);
+
+  size_t nparts = max_parts;
+  size_t part = ((src_len / nparts) + 0xFFFF) & ~(size_t)0xFFFF;
+  nparts = (src_len + part - 1) / part;
+  if (nparts < 2) return deflate_impl(src, src_len, level, dst, dst_cap);
+
+  std::vector<std::vector<uint8_t>> bufs(nparts);
+  std::vector<int64_t> nbits(nparts, 0);
+  std::vector<std::thread> threads;
+  for (size_t t = 0; t < nparts; t++) {
+    size_t start = t * part;
+    size_t end = std::min(start + part, src_len);
+    bufs[t].resize(deflate_bound(end - start));
+    bool final_part = (t == nparts - 1);
+    threads.emplace_back([&, t, start, end, final_part] {
+      // All parts return exact bit counts; only BFINAL marking differs.
+      nbits[t] = deflate_impl(src + start, end - start, level, bufs[t].data(),
+                              bufs[t].size(), final_part, false);
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  BitWriter bw(dst, dst_cap);
+  for (size_t t = 0; t < nparts; t++) {
+    if (nbits[t] < 0) return nbits[t];
+    bw.append_stream(bufs[t].data(), (size_t)nbits[t]);
+  }
   size_t out = bw.finish();
   return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+}
+
+// ---------------------------------------------------------------------------
+// One-call container codecs (gzip member / zlib wrapper): header parse +
+// codec + checksum verification in a single native call, so small inputs
+// don't pay multiple FFI crossings. Framing semantics per RFC 1952/1950
+// (reference gzip.nim, zippy.nim:61-78,130-162).
+// ---------------------------------------------------------------------------
+
+enum {
+  ZT_ERR_CHECKSUM = -3,
+  ZT_ERR_SIZE = -4,
+};
+
+int64_t gzip_uncompress_impl(const uint8_t* src, size_t src_len, uint8_t* dst,
+                             size_t dst_cap, size_t* consumed) {
+  if (src_len < 18) return ZT_ERR_MALFORMED;
+  if (src[0] != 0x1F || src[1] != 0x8B) return ZT_ERR_MALFORMED;
+  if (src[2] != 8) return ZT_ERR_MALFORMED;
+  uint8_t flg = src[3];
+  if (flg & 0xE0) return ZT_ERR_MALFORMED;
+  size_t p = 10;
+  if (flg & 4) {  // FEXTRA
+    if (p + 2 > src_len) return ZT_ERR_MALFORMED;
+    uint16_t xlen;
+    memcpy(&xlen, src + p, 2);
+    p += 2 + xlen;
+    if (p > src_len) return ZT_ERR_MALFORMED;
+  }
+  if (flg & 8) {  // FNAME
+    while (p < src_len && src[p]) p++;
+    if (p++ >= src_len) return ZT_ERR_MALFORMED;
+  }
+  if (flg & 16) {  // FCOMMENT
+    while (p < src_len && src[p]) p++;
+    if (p++ >= src_len) return ZT_ERR_MALFORMED;
+  }
+  if (flg & 2) {  // FHCRC (not verified; reference gzip.nim:55-59 skips too)
+    p += 2;
+    if (p >= src_len) return ZT_ERR_MALFORMED;
+  }
+  if (p + 8 >= src_len) return ZT_ERR_MALFORMED;
+  size_t end_bit = 0;
+  int64_t n = inflate_impl(src, src_len, p * 8, dst, dst_cap, &end_bit);
+  if (n < 0) return n;
+  size_t tpos = (end_bit + 7) / 8;
+  if (tpos + 8 > src_len) return ZT_ERR_MALFORMED;
+  uint32_t want_crc, want_isize;
+  memcpy(&want_crc, src + tpos, 4);
+  memcpy(&want_isize, src + tpos + 4, 4);
+  if (crc32(dst, (size_t)n) != want_crc) return ZT_ERR_CHECKSUM;
+  if ((uint32_t)n != want_isize) return ZT_ERR_SIZE;
+  if (consumed) *consumed = tpos + 8;
+  return n;
+}
+
+int64_t gzip_compress_impl(const uint8_t* src, size_t src_len, int level,
+                           uint8_t* dst, size_t dst_cap, int name_pad) {
+  size_t hdr = 10 + (name_pad >= 0 ? (size_t)name_pad + 1 : 0);
+  if (hdr + 18 > dst_cap) return ZT_ERR_DST_FULL;
+  memset(dst, 0, 10);
+  dst[0] = 0x1F;
+  dst[1] = 0x8B;
+  dst[2] = 8;
+  dst[3] = name_pad >= 0 ? 8 : 0;  // FNAME
+  size_t p = 10;
+  if (name_pad >= 0) {
+    for (int i = 0; i < name_pad; i++) dst[p++] = (uint8_t)('a' + i);
+    dst[p++] = 0;
+  }
+  int64_t body = deflate_mt(src, src_len, level, dst + p, dst_cap - p - 8);
+  if (body < 0) return body;
+  p += (size_t)body;
+  uint32_t crc = crc32(src, src_len);
+  uint32_t isize = (uint32_t)src_len;
+  memcpy(dst + p, &crc, 4);
+  memcpy(dst + p + 4, &isize, 4);
+  return (int64_t)(p + 8);
+}
+
+int64_t zlib_uncompress_impl(const uint8_t* src, size_t src_len, uint8_t* dst,
+                             size_t dst_cap) {
+  if (src_len < 6) return ZT_ERR_MALFORMED;
+  uint8_t cmf = src[0], flg = src[1];
+  if ((cmf & 0x0F) != 8) return ZT_ERR_MALFORMED;
+  if ((cmf >> 4) > 7) return ZT_ERR_MALFORMED;
+  if (((uint32_t)cmf * 256 + flg) % 31 != 0) return ZT_ERR_MALFORMED;
+  if (flg & 0x20) return ZT_ERR_MALFORMED;  // FDICT unsupported
+  size_t end_bit = 0;
+  int64_t n = inflate_impl(src, src_len, 16, dst, dst_cap, &end_bit);
+  if (n < 0) return n;
+  size_t tpos = (end_bit + 7) / 8;
+  if (tpos + 4 > src_len) return ZT_ERR_MALFORMED;
+  uint32_t want = ((uint32_t)src[tpos] << 24) | ((uint32_t)src[tpos + 1] << 16)
+                  | ((uint32_t)src[tpos + 2] << 8) | src[tpos + 3];
+  if (adler32(dst, (size_t)n) != want) return ZT_ERR_CHECKSUM;
+  return n;
+}
+
+int64_t zlib_compress_impl(const uint8_t* src, size_t src_len, int level,
+                           uint8_t* dst, size_t dst_cap) {
+  if (dst_cap < 8) return ZT_ERR_DST_FULL;
+  dst[0] = 0x78;  // CM=8, CINFO=7
+  uint8_t flg = 0;
+  while (((uint32_t)dst[0] * 256 + flg) % 31 != 0) flg++;
+  dst[1] = flg;
+  int64_t body = deflate_mt(src, src_len, level, dst + 2, dst_cap - 6);
+  if (body < 0) return body;
+  size_t p = 2 + (size_t)body;
+  uint32_t a = adler32(src, src_len);
+  dst[p] = (uint8_t)(a >> 24);
+  dst[p + 1] = (uint8_t)(a >> 16);
+  dst[p + 2] = (uint8_t)(a >> 8);
+  dst[p + 3] = (uint8_t)a;
+  return (int64_t)(p + 4);
 }
 
 }  // namespace
@@ -1127,15 +1383,39 @@ int64_t zt_inflate(const uint8_t* src, size_t src_len, size_t start_bit,
   return inflate_impl(src, src_len, start_bit, dst, dst_cap, end_bit);
 }
 
-// Compress src as a raw deflate stream. Returns bytes written or -2 if dst
-// is too small (use zt_deflate_bound).
+// Compress src as a raw deflate stream (multi-threaded above 512 KiB).
+// Returns bytes written or -2 if dst is too small (use zt_deflate_bound).
 int64_t zt_deflate(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
                    size_t dst_cap) {
-  return deflate_impl(src, src_len, level, dst, dst_cap);
+  return deflate_mt(src, src_len, level, dst, dst_cap);
 }
 
-size_t zt_deflate_bound(size_t src_len) {
-  return src_len + (src_len / kMaxStored + 1) * 5 + 64;
+size_t zt_deflate_bound(size_t src_len) { return deflate_bound(src_len); }
+
+// Whole gzip member decode: header parse + inflate + crc32/ISIZE check.
+// Returns payload length, or -1 malformed / -2 dst full / -3 bad checksum /
+// -4 bad ISIZE. *consumed = bytes of src consumed (for multi-member).
+int64_t zt_gzip_uncompress(const uint8_t* src, size_t src_len, uint8_t* dst,
+                           size_t dst_cap, size_t* consumed) {
+  return gzip_uncompress_impl(src, src_len, dst, dst_cap, consumed);
+}
+
+// Whole gzip member encode. name_pad >= 0 emits an FNAME of that many
+// filler characters (the anti-oracle padding, reference zippy.nim:28-42);
+// -1 omits FNAME.
+int64_t zt_gzip_compress(const uint8_t* src, size_t src_len, int level,
+                         uint8_t* dst, size_t dst_cap, int name_pad) {
+  return gzip_compress_impl(src, src_len, level, dst, dst_cap, name_pad);
+}
+
+int64_t zt_zlib_uncompress(const uint8_t* src, size_t src_len, uint8_t* dst,
+                           size_t dst_cap) {
+  return zlib_uncompress_impl(src, src_len, dst, dst_cap);
+}
+
+int64_t zt_zlib_compress(const uint8_t* src, size_t src_len, int level,
+                         uint8_t* dst, size_t dst_cap) {
+  return zlib_compress_impl(src, src_len, level, dst, dst_cap);
 }
 
 }  // extern "C"

@@ -1,0 +1,577 @@
+"""TPU-native DEFLATE encoder: the device compute path.
+
+This is NOT a port of the reference's scalar loops (lz77.nim hash-chain walk,
+deflate.nim:396-459 serial bit emission). Every stage is reformulated as
+data-parallel vector work that XLA maps onto the TPU VPU:
+
+1. Match finding — the hash-chain (reference lz77.nim:88-112) becomes a
+   sort-based candidate generator: positions sorted by (hash4, pos); the k
+   predecessors inside a hash bucket are exactly the k most recent previous
+   occurrences (what a chain walk of depth k visits). Match lengths for all
+   (position, candidate) pairs are scored at once with a windowed vector
+   compare (the batched analogue of determineMatchLength,
+   reference internal.nim:251-270).
+
+2. Token selection — greedy parsing is a sequential scan in the reference;
+   here the token cover is the set of positions reachable from 0 through
+   next[i] = i + len_i (match) or i + 1 (literal), computed in O(log n)
+   pointer-doubling rounds. A one-step lazy demotion (match at i+1 longer
+   than at i → i becomes a literal) approximates zlib's deflate_slow.
+
+3. Bit packing — the serial BitStreamWriter (reference bitstreams.nim:88)
+   becomes an exact per-token bit-length prefix sum + scatter-add of shifted
+   code words into a uint32 word array. Codes never overlap, so scatter-add
+   equals scatter-or.
+
+Histograms for dynamic Huffman come from segment sums; code construction
+(O(alphabet) = 286 symbols) runs on host between the two jitted phases.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+
+# Kernel compiles here are expensive (~40s each); persist them across runs.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "zippy_tpu_jax",
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BLOCK_LOG = 16
+BLOCK = 1 << BLOCK_LOG          # device block size (fresh window per block)
+L_CMP = 64                      # match length scored during candidate ranking
+L_EXT = 194                     # second-phase extension (to the 258 cap)
+PAD = 264                       # input padding past the block (>= L_CMP+L_EXT)
+HASH_BITS = 15
+WORDS_PER_BLOCK = BLOCK // 2 + 8  # ≤16 bits/byte worst case (lens ≤ 15)
+
+_U = jnp.uint32
+
+
+def _exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cumsum(x) - x
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: match finding + token selection + symbol histograms
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "lazy"))
+def find_tokens(data_pad: jnp.ndarray, n: jnp.ndarray, *, k: int = 4,
+                lazy: bool = True):
+    """Token cover of one block.
+
+    data_pad: (N + PAD,) uint8, zero padded past `n`; N (≤ 65536, so the
+    sort key packs into 31 bits) comes from the shape.
+    Returns dict of (N,) arrays: is_tok, is_match, length, dist
+    plus litlen/dist histograms (286,), (30,).
+    """
+    N = data_pad.shape[0] - PAD
+    assert N <= (1 << 16)
+    b = data_pad.astype(_U)
+    v = b[:N] | (b[1 : N + 1] << _U(8)) | (b[2 : N + 2] << _U(16)) | (
+        b[3 : N + 3] << _U(24)
+    )
+    h = ((v * _U(0x9E3779B1)) >> _U(32 - HASH_BITS)).astype(jnp.int32)
+    i_arr = jnp.arange(N, dtype=jnp.int32)
+
+    # Sort positions by (hash, pos): bucket predecessors = recent occurrences.
+    key = (h << 16) | i_arr
+    order = jnp.argsort(key).astype(jnp.int32)
+    h_sorted = h[order]
+
+    cands = []
+    for back in range(1, k + 1):
+        prev_pos = jnp.roll(order, back)
+        same_bucket = jnp.roll(h_sorted, back) == h_sorted
+        valid = (jnp.arange(N) >= back) & same_bucket
+        cands.append(jnp.where(valid, prev_pos, -1))
+    cands_sorted = jnp.stack(cands, axis=1)                    # (N, k)
+    cands_pos = jnp.zeros((N, k), jnp.int32).at[order].set(cands_sorted)
+
+    # Windowed match scoring: first mismatch within L_CMP bytes.
+    lane = jnp.arange(L_CMP, dtype=jnp.int32)
+    win_i = data_pad[i_arr[:, None] + lane[None, :]]            # (N, L)
+    cj = jnp.maximum(cands_pos, 0)
+    win_j = data_pad[cj[:, :, None] + lane[None, None, :]]      # (N, k, L)
+    neq = win_i[:, None, :] != win_j                            # (N, k, L)
+    mlen = jnp.where(
+        jnp.any(neq, axis=2), jnp.argmax(neq, axis=2), L_CMP
+    ).astype(jnp.int32)                                         # (N, k)
+
+    dist = i_arr[:, None] - cands_pos                           # (N, k)
+    ok = (cands_pos >= 0) & (dist <= tables.MAX_WINDOW_SIZE)
+    mlen = jnp.where(ok, mlen, 0)
+    # Don't run past the real end of the block.
+    mlen = jnp.minimum(mlen, jnp.maximum(n - i_arr, 0)[:, None])
+
+    # Best candidate: longest match, then nearest (larger j).
+    score = (mlen << 17) + cands_pos
+    best = jnp.argmax(score, axis=1)
+    l_best = jnp.take_along_axis(mlen, best[:, None], axis=1)[:, 0]
+    d_best = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+
+    # Second phase: matches that hit the L_CMP scoring cap extend toward the
+    # 258 limit with one more windowed compare (the ranking used capped
+    # lengths; the winner then gets its true length).
+    j_best = i_arr - d_best
+    lane2 = jnp.arange(L_EXT, dtype=jnp.int32) + L_CMP
+    wi2 = data_pad[i_arr[:, None] + lane2[None, :]]
+    wj2 = data_pad[jnp.maximum(j_best, 0)[:, None] + lane2[None, :]]
+    neq2 = wi2 != wj2
+    ext = jnp.where(jnp.any(neq2, axis=1), jnp.argmax(neq2, axis=1),
+                    L_EXT).astype(jnp.int32)
+    l_best = jnp.where(l_best == L_CMP, l_best + ext, l_best)
+    l_best = jnp.minimum(l_best, jnp.minimum(
+        tables.MAX_MATCH_LEN, jnp.maximum(n - i_arr, 0)))
+
+    is_m = l_best >= 4
+    if lazy:
+        nxt_l = jnp.roll(l_best, -1).at[-1].set(0)
+        is_m = is_m & ~(nxt_l > l_best)
+
+    # Pointer-doubling reachability from position 0.
+    step = jnp.where(is_m, l_best, 1)
+    nxt = jnp.minimum(i_arr + step, N)
+    nxt = jnp.where(i_arr >= n, N, nxt)
+    J = jnp.append(nxt, N).astype(jnp.int32)                    # (N+1,)
+    reach = jnp.zeros(N + 1, jnp.bool_).at[0].set(True)
+    for _ in range(int(np.ceil(np.log2(N))) + 1):
+        tgt = jnp.where(reach, J, N)
+        reach = reach.at[tgt].set(True)
+        J = J[J]
+
+    is_tok = reach[:N] & (i_arr < n)
+    is_match = is_tok & is_m
+    length = jnp.where(is_match, l_best, 0)
+    dist_b = jnp.where(is_match, d_best, 1)
+
+    # Symbols + histograms.
+    len_idx = jnp.asarray(tables.LENGTH_TO_CODE_INDEX)[
+        jnp.clip(length - 3, 0, 255)
+    ]
+    d1 = dist_b - 1
+    dist_idx = jnp.where(
+        dist_b <= 256,
+        jnp.asarray(tables.DISTANCE_CODE_LUT)[jnp.clip(d1, 0, 255)],
+        jnp.asarray(tables.DISTANCE_CODE_LUT)[256 + (d1 >> 7)],
+    )
+    lit_sym = data_pad[:N].astype(jnp.int32)
+    sym = jnp.where(is_match, 257 + len_idx, lit_sym)
+
+    w = is_tok.astype(jnp.int32)
+    ll_hist = jax.ops.segment_sum(w, sym, num_segments=286)
+    ll_hist = ll_hist.at[256].add(1)  # end-of-block symbol
+    dist_hist = jax.ops.segment_sum(
+        is_match.astype(jnp.int32), dist_idx, num_segments=30
+    )
+
+    return {
+        "is_tok": is_tok,
+        "is_match": is_match,
+        "length": length,
+        "dist": dist_b,
+        "sym": sym,
+        "len_idx": len_idx,
+        "dist_idx": dist_idx,
+        "ll_hist": ll_hist,
+        "dist_hist": dist_hist,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: bit packing with arbitrary code tables
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pack_tokens(tok: dict, ll_lens: jnp.ndarray, ll_codes: jnp.ndarray,
+                dist_lens: jnp.ndarray, dist_codes: jnp.ndarray):
+    """Serialize the token cover to a DEFLATE bit stream (no 3-bit block
+    header; the host prepends headers and bit-shifts).
+
+    Returns (words (W,) uint32, total_bits ()). Bit k of the stream is bit
+    (k % 32) of word (k // 32) — LSB-first, matching RFC 1951.
+    """
+    is_tok = tok["is_tok"]
+    is_match = tok["is_match"]
+    sym = tok["sym"]
+    len_idx = tok["len_idx"]
+    dist_idx = tok["dist_idx"]
+    length = tok["length"]
+    dist = tok["dist"]
+
+    base_len = jnp.asarray(tables.BASE_LENGTHS)
+    len_extra = jnp.asarray(tables.LENGTH_EXTRA_BITS)
+    base_dist = jnp.asarray(tables.BASE_DISTANCES)
+    dist_extra = jnp.asarray(tables.DISTANCE_EXTRA_BITS)
+
+    m = is_match
+    t = is_tok
+    # Four components per token (literal uses only c0).
+    c_bits = [
+        jnp.where(t, ll_lens[sym], 0),
+        jnp.where(m, len_extra[len_idx], 0),
+        jnp.where(m, dist_lens[dist_idx], 0),
+        jnp.where(m, dist_extra[dist_idx], 0),
+    ]
+    c_vals = [
+        jnp.where(t, ll_codes[sym], 0).astype(_U),
+        jnp.where(m, length - base_len[len_idx], 0).astype(_U),
+        jnp.where(m, dist_codes[dist_idx], 0).astype(_U),
+        jnp.where(m, dist - base_dist[dist_idx], 0).astype(_U),
+    ]
+
+    N = is_tok.shape[0]
+    nbits = c_bits[0] + c_bits[1] + c_bits[2] + c_bits[3]
+    off0 = _exclusive_cumsum(nbits)
+    body_bits = off0[-1] + nbits[-1]
+
+    # Append the end-of-block code (symbol 256) at the tail.
+    eob_bits = ll_lens[256]
+    eob_val = ll_codes[256].astype(_U)
+    total_bits = body_bits + eob_bits
+
+    offs = [off0]
+    for c in range(1, 4):
+        offs.append(offs[-1] + c_bits[c - 1])
+
+    W = N // 2 + 8
+    all_lo, all_hi, all_w = [], [], []
+    for c in range(4):
+        bo = jnp.append(offs[c], body_bits)
+        bits_c = jnp.append(c_bits[c], eob_bits if c == 0 else 0)
+        val_c = jnp.append(c_vals[c], eob_val if c == 0 else _U(0))
+        val_c = jnp.where(bits_c > 0, val_c, _U(0))
+        w = (bo >> 5).astype(jnp.int32)
+        sh = (bo & 31).astype(_U)
+        lo = val_c << sh
+        hi = jnp.where(sh == 0, _U(0), val_c >> (_U(32) - sh))
+        all_lo.append(lo)
+        all_hi.append(hi)
+        all_w.append(w)
+    vals = jnp.concatenate(all_lo + all_hi)
+    segs = jnp.concatenate(all_w + [w + 1 for w in all_w])
+    segs = jnp.clip(segs, 0, W - 1)
+    words = jax.ops.segment_sum(vals, segs, num_segments=W)
+    return words, total_bits
+
+
+@functools.partial(jax.jit, static_argnames=("k", "lazy"))
+def compress_block_fixed(data_pad: jnp.ndarray, n: jnp.ndarray, *,
+                         k: int = 4, lazy: bool = True):
+    """Full single-block device pipeline with fixed Huffman codes — one
+    fused jittable step (match → select → pack). Used by __graft_entry__."""
+    tok = find_tokens(data_pad, n, k=k, lazy=lazy)
+    ll_lens = jnp.asarray(tables.FIXED_LITLEN_LENGTHS)
+    ll_codes = jnp.asarray(tables.FIXED_LITLEN_CODES.astype(np.int64)).astype(_U)
+    d_lens = jnp.asarray(tables.FIXED_DISTANCE_LENGTHS)
+    d_codes = jnp.asarray(tables.FIXED_DISTANCE_CODES.astype(np.int64)).astype(_U)
+    words, total_bits = pack_tokens(tok, ll_lens, ll_codes, d_lens, d_codes)
+    return words, total_bits, tok["ll_hist"], tok["dist_hist"]
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration: dynamic Huffman + stream assembly
+# ---------------------------------------------------------------------------
+
+
+class _HostBitWriter:
+    """Small LSB-first bit writer for block headers (host side only)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bitbuf = 0
+        self.bitcnt = 0
+
+    def add(self, value: int, nbits: int) -> None:
+        self.bitbuf |= (value & ((1 << nbits) - 1)) << self.bitcnt
+        self.bitcnt += nbits
+        while self.bitcnt >= 8:
+            self.out.append(self.bitbuf & 0xFF)
+            self.bitbuf >>= 8
+            self.bitcnt -= 8
+
+    def bit_length(self) -> int:
+        return len(self.out) * 8 + self.bitcnt
+
+
+def build_code_lengths(freq: np.ndarray, limit: int) -> np.ndarray:
+    """Length-limited Huffman lengths via package-merge (optimal; mirrors the
+    native C++ builder, not the reference's rebalance heuristic)."""
+    n = len(freq)
+    lens = np.zeros(n, dtype=np.int32)
+    active = np.nonzero(freq)[0]
+    if len(active) == 0:
+        return lens
+    if len(active) == 1:
+        lens[active[0]] = 1
+        return lens
+    leaves = sorted((int(freq[s]), ~int(s)) for s in active)
+    arena: list[tuple[int, int]] = []
+    merged = list(leaves)
+    for _ in range(1, limit):
+        packages = []
+        for i in range(0, len(merged) - 1, 2):
+            arena.append((merged[i][1], merged[i + 1][1]))
+            packages.append((merged[i][0] + merged[i + 1][0], len(arena) - 1))
+        out, a, b = [], 0, 0
+        while a < len(leaves) or b < len(packages):
+            if b >= len(packages) or (a < len(leaves)
+                                      and leaves[a][0] <= packages[b][0]):
+                out.append(leaves[a])
+                a += 1
+            else:
+                out.append(packages[b])
+                b += 1
+        merged = out
+    take = 2 * (len(active) - 1)
+    stack = []
+    for i in range(min(take, len(merged))):
+        stack.append(merged[i][1])
+        while stack:
+            it = stack.pop()
+            if it < 0:
+                lens[~it] += 1
+            else:
+                left, right = arena[it]
+                stack.append(left)
+                stack.append(right)
+    return lens
+
+
+def _rle_code_lengths(lens: np.ndarray):
+    """RFC 1951 §3.2.7 run-length coding of the code-length sequence."""
+    out = []  # (sym, extra_val, extra_bits)
+    cl_freq = np.zeros(19, dtype=np.int64)
+    i, n = 0, len(lens)
+    while i < n:
+        v = int(lens[i])
+        run = 1
+        while i + run < n and lens[i + run] == v:
+            run += 1
+        if v == 0:
+            r = run
+            while r >= 3:
+                take = min(r, 138)
+                if take > 10:
+                    out.append((18, take - 11, 7))
+                    cl_freq[18] += 1
+                else:
+                    out.append((17, take - 3, 3))
+                    cl_freq[17] += 1
+                r -= take
+            for _ in range(r):
+                out.append((0, 0, 0))
+                cl_freq[0] += 1
+        else:
+            out.append((v, 0, 0))
+            cl_freq[v] += 1
+            r = run - 1
+            while r >= 3:
+                take = min(r, 6)
+                out.append((16, take - 3, 2))
+                cl_freq[16] += 1
+                r -= take
+            for _ in range(r):
+                out.append((v, 0, 0))
+                cl_freq[v] += 1
+        i += run
+    return out, cl_freq
+
+
+def make_dynamic_header(ll_lens: np.ndarray, dist_lens: np.ndarray):
+    """Dynamic block header bits (HLIT/HDIST/HCLEN + CL-coded lengths).
+    Returns (header_bytes, header_bit_length)."""
+    hlit = 286
+    while hlit > 257 and ll_lens[hlit - 1] == 0:
+        hlit -= 1
+    hdist = 30
+    while hdist > 1 and dist_lens[hdist - 1] == 0:
+        hdist -= 1
+    all_lens = np.concatenate([ll_lens[:hlit], dist_lens[:hdist]])
+    rle, cl_freq = _rle_code_lengths(all_lens)
+    cl_lens = build_code_lengths(cl_freq, 7)
+    cl_codes = tables.canonical_codes(cl_lens)
+    order = tables.CLCL_ORDER
+    hclen = 19
+    while hclen > 4 and cl_lens[order[hclen - 1]] == 0:
+        hclen -= 1
+    bw = _HostBitWriter()
+    bw.add(hlit - 257, 5)
+    bw.add(hdist - 1, 5)
+    bw.add(hclen - 4, 4)
+    for i in range(hclen):
+        bw.add(int(cl_lens[order[i]]), 3)
+    for sym_v, extra_val, extra_bits in rle:
+        bw.add(int(cl_codes[sym_v]), int(cl_lens[sym_v]))
+        if extra_bits:
+            bw.add(extra_val, extra_bits)
+    return bytes(bw.out) + bytes([bw.bitbuf & 0xFF]), bw.bit_length()
+
+
+class _ByteBitAppender:
+    """Append bit strings (given as LSB-first byte arrays) efficiently."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bitpos = 0  # bits valid in self.out
+
+    def append_bits(self, payload: np.ndarray, nbits: int) -> None:
+        if nbits == 0:
+            return
+        sh = self.bitpos & 7
+        data = payload[: (nbits + 7) // 8].astype(np.uint16)
+        if sh == 0:
+            self.out += data.astype(np.uint8).tobytes()
+        else:
+            shifted = (data << sh) & 0xFF
+            carry = (data >> (8 - sh)).astype(np.uint8)
+            lead = self.out[-1] | int(shifted[0])
+            body = (shifted[1:].astype(np.uint8) | carry[:-1])
+            self.out[-1] = lead
+            self.out += body.tobytes()
+            self.out.append(int(carry[-1]))
+        self.bitpos += nbits
+        # Trim bytes beyond the bit position.
+        need = (self.bitpos + 7) // 8
+        del self.out[need:]
+
+    def append_host_writer(self, bw: _HostBitWriter) -> None:
+        nbits = bw.bit_length()
+        buf = np.frombuffer(
+            bytes(bw.out) + bytes([bw.bitbuf & 0xFF]), dtype=np.uint8
+        )
+        self.append_bits(buf, nbits)
+
+
+def deflate(data: bytes, level: int, block_size: int = BLOCK) -> bytes:
+    """Raw DEFLATE stream via the device pipeline (dynamic/fixed per block).
+
+    Blocks (64 KiB by default) are matched, selected, and bit-packed on the
+    accelerator; the host builds per-block Huffman tables from device
+    histograms and splices block payloads with numpy bit shifts.
+    """
+    BLOCK = block_size
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        from .. import native
+
+        return native.deflate(data, level)
+
+    k, lazy = _level_params(level)
+    nblocks = -(-n // BLOCK)
+    padded = np.zeros(nblocks * BLOCK + PAD, dtype=np.uint8)
+    padded[:n] = arr
+
+    out = _ByteBitAppender()
+    for bi in range(nblocks):
+        seg = jnp.asarray(padded[bi * BLOCK : (bi + 1) * BLOCK + PAD])
+        blen = min(BLOCK, n - bi * BLOCK)
+        tok = find_tokens(seg, jnp.int32(blen), k=k, lazy=lazy)
+        ll_hist = np.asarray(tok["ll_hist"])
+        dist_hist = np.asarray(tok["dist_hist"])
+        final = bi == nblocks - 1
+
+        ll_lens = build_code_lengths(ll_hist, 15)
+        if ll_lens[256] == 0:
+            ll_lens[256] = 15
+        if (ll_lens != 0).sum() < 2:
+            for s in range(286):
+                if ll_lens[s] == 0:
+                    ll_lens[s] = 1
+                    break
+            ll_lens[256] = min(ll_lens[256], 1) or 1
+        dist_lens = build_code_lengths(dist_hist, 15)
+        ll_codes = tables.canonical_codes(ll_lens)
+        dist_codes = tables.canonical_codes(dist_lens)
+
+        header, header_bits = make_dynamic_header(ll_lens, dist_lens)
+
+        # Cost comparison: dynamic vs fixed vs stored.
+        extra_bits = int(
+            (ll_hist[257:286] * tables.LENGTH_EXTRA_BITS).sum()
+            + (dist_hist * tables.DISTANCE_EXTRA_BITS).sum()
+        )
+        dyn_body = int((ll_hist * ll_lens).sum()
+                       + (dist_hist * dist_lens).sum()) + extra_bits
+        fix_body = int((ll_hist * tables.FIXED_LITLEN_LENGTHS[:286]).sum()
+                       + (dist_hist * tables.FIXED_DISTANCE_LENGTHS).sum()
+                       ) + extra_bits
+        dyn_bits_total = 3 + header_bits + dyn_body
+        fix_bits_total = 3 + fix_body
+        stored_bits = 8 * (blen + 5 * -(-blen // 0xFFFF)) + 7
+
+        if stored_bits < min(dyn_bits_total, fix_bits_total):
+            off = 0
+            while off < blen:
+                chunk = min(blen - off, 0xFFFF)
+                last = off + chunk == blen
+                bw = _HostBitWriter()
+                bw.add(1 if (final and last) else 0, 1)
+                bw.add(0, 2)
+                # LEN must start on a byte boundary of the GLOBAL stream.
+                pad = (-(out.bitpos + 3)) % 8
+                if pad:
+                    bw.add(0, pad)
+                bw.add(chunk, 16)
+                bw.add(chunk ^ 0xFFFF, 16)
+                out.append_host_writer(bw)
+                out.append_bits(
+                    padded[bi * BLOCK + off : bi * BLOCK + off + chunk],
+                    chunk * 8,
+                )
+                off += chunk
+            continue
+
+        use_fixed = fix_bits_total <= dyn_bits_total
+        if use_fixed:
+            lens_j = jnp.asarray(tables.FIXED_LITLEN_LENGTHS)
+            codes_j = jnp.asarray(
+                tables.FIXED_LITLEN_CODES.astype(np.int64)).astype(_U)
+            dlens_j = jnp.asarray(tables.FIXED_DISTANCE_LENGTHS)
+            dcodes_j = jnp.asarray(
+                tables.FIXED_DISTANCE_CODES.astype(np.int64)).astype(_U)
+        else:
+            lens_j = jnp.asarray(ll_lens)
+            codes_j = jnp.asarray(ll_codes.astype(np.int64)).astype(_U)
+            dlens_j = jnp.asarray(dist_lens)
+            dcodes_j = jnp.asarray(dist_codes.astype(np.int64)).astype(_U)
+
+        words, total_bits = pack_tokens(tok, lens_j, codes_j, dlens_j,
+                                        dcodes_j)
+        words_np = np.asarray(words).astype("<u4")
+        total_bits = int(total_bits)
+
+        bw = _HostBitWriter()
+        bw.add(1 if final else 0, 1)
+        bw.add(1 if use_fixed else 2, 2)
+        out.append_host_writer(bw)
+        if not use_fixed:
+            hdr = np.frombuffer(header + b"\x00", dtype=np.uint8)
+            out.append_bits(hdr, header_bits)
+        out.append_bits(words_np.view(np.uint8), total_bits)
+
+    # Final byte padding is implicit (append buffer is byte-granular).
+    return bytes(out.out)
+
+
+def _level_params(level: int) -> tuple[int, bool]:
+    if level <= 3:
+        return 2, False
+    if level <= 6:
+        return 4, True
+    return 8, True
