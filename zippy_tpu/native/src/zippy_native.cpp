@@ -41,8 +41,7 @@ struct CrcTables {
 };
 const CrcTables kCrc;
 
-uint32_t crc32(const uint8_t* p, size_t n, uint32_t crc = 0) {
-  uint32_t c = ~crc;
+uint32_t crc32_sliceby8(const uint8_t* p, size_t n, uint32_t c) {
   // Slice-by-8: process 8 bytes per step, 8 independent table lookups.
   while (n >= 8) {
     uint32_t lo, hi;
@@ -57,14 +56,140 @@ uint32_t crc32(const uint8_t* p, size_t n, uint32_t crc = 0) {
     n -= 8;
   }
   while (n--) c = (c >> 8) ^ kCrc.t[0][(c ^ *p++) & 0xFF];
-  return ~c;
+  return c;
 }
+
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+#include <immintrin.h>
+#define ZT_HAVE_PCLMUL 1
+// PCLMULQDQ 4x128-bit folding CRC-32 (same algebra as the reference's
+// crc32_sse41_pcmul, crc32_simd.nim:39-144 — reimplemented from the
+// standard reflected-fold construction, constants for poly 0xEDB88320).
+uint32_t crc32_pclmul(const uint8_t* p, size_t n, uint32_t c) {
+  const __m128i k1k2 = _mm_set_epi64x(0x1c6e41596, 0x154442bd4);
+  const __m128i k3k4 = _mm_set_epi64x(0x0ccaa009e, 0x1751997d0);
+  const __m128i k5 = _mm_set_epi64x(0, 0x163cd6124);
+  const __m128i barrett = _mm_set_epi64x(0x1db710641, 0x1f7011641);
+  __m128i x0 = _mm_loadu_si128((const __m128i*)p);
+  __m128i x1 = _mm_loadu_si128((const __m128i*)(p + 16));
+  __m128i x2 = _mm_loadu_si128((const __m128i*)(p + 32));
+  __m128i x3 = _mm_loadu_si128((const __m128i*)(p + 48));
+  x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)c));
+  p += 64;
+  n -= 64;
+  while (n >= 64) {
+    x0 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x0, k1k2, 0x00),
+                      _mm_clmulepi64_si128(x0, k1k2, 0x11)),
+        _mm_loadu_si128((const __m128i*)p));
+    x1 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x1, k1k2, 0x00),
+                      _mm_clmulepi64_si128(x1, k1k2, 0x11)),
+        _mm_loadu_si128((const __m128i*)(p + 16)));
+    x2 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x2, k1k2, 0x00),
+                      _mm_clmulepi64_si128(x2, k1k2, 0x11)),
+        _mm_loadu_si128((const __m128i*)(p + 32)));
+    x3 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x3, k1k2, 0x00),
+                      _mm_clmulepi64_si128(x3, k1k2, 0x11)),
+        _mm_loadu_si128((const __m128i*)(p + 48)));
+    p += 64;
+    n -= 64;
+  }
+  // Fold 4 lanes into 1 (128 bits) with k3k4.
+  __m128i x = _mm_xor_si128(
+      _mm_xor_si128(_mm_clmulepi64_si128(x0, k3k4, 0x00),
+                    _mm_clmulepi64_si128(x0, k3k4, 0x11)), x1);
+  x = _mm_xor_si128(
+      _mm_xor_si128(_mm_clmulepi64_si128(x, k3k4, 0x00),
+                    _mm_clmulepi64_si128(x, k3k4, 0x11)), x2);
+  x = _mm_xor_si128(
+      _mm_xor_si128(_mm_clmulepi64_si128(x, k3k4, 0x00),
+                    _mm_clmulepi64_si128(x, k3k4, 0x11)), x3);
+  while (n >= 16) {
+    x = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x, k3k4, 0x00),
+                      _mm_clmulepi64_si128(x, k3k4, 0x11)),
+        _mm_loadu_si128((const __m128i*)p));
+    p += 16;
+    n -= 16;
+  }
+  // 128 -> 64: fold high half onto low with k4, then k5.
+  x = _mm_xor_si128(_mm_clmulepi64_si128(x, k3k4, 0x10),
+                    _mm_srli_si128(x, 8));
+  x = _mm_xor_si128(_mm_clmulepi64_si128(_mm_and_si128(x, _mm_set_epi64x(0, ~0ULL >> 32)), k5, 0x00),
+                    _mm_srli_si128(x, 4));
+  // Barrett reduction 64 -> 32.
+  __m128i t = _mm_clmulepi64_si128(
+      _mm_and_si128(x, _mm_set_epi64x(0, 0xFFFFFFFF)), barrett, 0x00);
+  t = _mm_clmulepi64_si128(
+      _mm_and_si128(t, _mm_set_epi64x(0, 0xFFFFFFFF)), barrett, 0x10);
+  x = _mm_xor_si128(x, t);
+  c = (uint32_t)_mm_extract_epi32(x, 1);
+  return crc32_sliceby8(p, n, c);  // tail < 16 bytes
+}
+#endif
+
+uint32_t crc32(const uint8_t* p, size_t n, uint32_t crc = 0) {
+  uint32_t c = ~crc;
+#ifdef ZT_HAVE_PCLMUL
+  if (n >= 64) return ~crc32_pclmul(p, n, c);
+#endif
+  return ~crc32_sliceby8(p, n, c);
+}
+
+#if defined(__AVX2__)
+#define ZT_HAVE_AVX2_ADLER 1
+#include <immintrin.h>
+#endif
 
 uint32_t adler32(const uint8_t* p, size_t n, uint32_t adler = 1) {
   const uint32_t MOD = 65521;
   uint32_t s1 = adler & 0xFFFF, s2 = adler >> 16;
   // NMAX = largest n with 255n(n+1)/2 + (n+1)(MOD-1) < 2^32 (zlib's trick).
   const size_t NMAX = 5552;
+#ifdef ZT_HAVE_AVX2_ADLER
+  // 32 bytes per step (maddubs weighted sums + sad byte sums), one
+  // horizontal reduction per NMAX window. Same math as the reference's
+  // adler32_ssse3 (adler32_simd.nim:45-96), AVX2-width.
+  if (n >= 64) {
+    const __m256i w = _mm256_setr_epi8(
+        32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17,
+        16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1);
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    const __m256i zero = _mm256_setzero_si256();
+    while (n >= 32) {
+      size_t m = (n < NMAX ? n : NMAX) / 32;   // chunks this window
+      __m256i vsad = zero;    // 4x64 running byte sums
+      __m256i vcarry = zero;  // 4x64 sum over chunks of prior vsad
+      __m256i vw = zero;      // 8x32 weighted sums
+      uint32_t s1_0 = s1;
+      for (size_t j = 0; j < m; j++) {
+        __m256i c = _mm256_loadu_si256((const __m256i*)(p + 32 * j));
+        vcarry = _mm256_add_epi64(vcarry, vsad);
+        vsad = _mm256_add_epi64(vsad, _mm256_sad_epu8(c, zero));
+        vw = _mm256_add_epi32(
+            vw, _mm256_madd_epi16(_mm256_maddubs_epi16(c, w), ones16));
+      }
+      uint64_t sad_arr[4], carry_arr[4];
+      uint32_t w_arr[8];
+      _mm256_storeu_si256((__m256i*)sad_arr, vsad);
+      _mm256_storeu_si256((__m256i*)carry_arr, vcarry);
+      _mm256_storeu_si256((__m256i*)w_arr, vw);
+      uint32_t S = (uint32_t)(sad_arr[0] + sad_arr[1] + sad_arr[2] + sad_arr[3]);
+      uint32_t C = (uint32_t)(carry_arr[0] + carry_arr[1] + carry_arr[2] +
+                              carry_arr[3]);
+      uint32_t W = 0;
+      for (int i = 0; i < 8; i++) W += w_arr[i];
+      s1 = (s1_0 + S) % MOD;
+      s2 = (uint32_t)(((uint64_t)s2 + (uint64_t)32 * m % MOD * s1_0 +
+                       (uint64_t)32 * (C % MOD) + W) % MOD);
+      p += 32 * m;
+      n -= 32 * m;
+    }
+  }
+#endif
   while (n) {
     size_t k = n < NMAX ? n : NMAX;
     n -= k;
@@ -194,9 +319,16 @@ struct BitReader {
 // ---------------------------------------------------------------------------
 
 const int kLutBits = 10;
+const uint32_t kLutMask = (1u << kLutBits) - 1;
+
+// Packed 32-bit LUT entry flags (fast symbol loop; see build_packed).
+const uint32_t kPkLit = 1u << 4;
+const uint32_t kPkEob = 1u << 5;
+const uint32_t kPkBad = 1u << 6;
 
 struct HuffDecoder {
   uint16_t lut[1 << kLutBits];  // (sym << 4) | code_len; 0 = slow path
+  uint32_t lut32[1 << kLutBits];  // packed entries (litlen/dist kinds)
   uint16_t first_code[16];      // canonical MSB-first first code per length
   uint16_t limit[16];           // first_code + count
   uint16_t offset[16];          // index of first symbol of this length
@@ -243,6 +375,44 @@ struct HuffDecoder {
     return true;
   }
 
+  // Fill lut32 with self-contained entries so the hot loop needs ONE lookup
+  // per symbol. Layout: bits 0-3 code length (0 = slow/long code);
+  //   litlen kind: bit4 literal (byte at 8-15), bit5 EOB, bit6 invalid,
+  //                length syms: base at 16-24, extra-bit count at 28-30
+  //   dist kind:   extra-bit count at 8-11, base at 16-31
+  void build_packed(bool is_litlen) {
+    for (uint32_t i = 0; i < (1u << kLutBits); i++) {
+      uint16_t e = lut[i];
+      if (!e) {
+        lut32[i] = 0;
+        continue;
+      }
+      uint32_t len = e & 15;
+      uint32_t sym = e >> 4;
+      uint32_t v;
+      if (is_litlen) {
+        if (sym < 256) {
+          v = len | kPkLit | (sym << 8);
+        } else if (sym == 256) {
+          v = len | kPkEob;
+        } else if (sym <= 285) {
+          uint32_t li = sym - 257;
+          v = len | ((uint32_t)kBaseLengths[li] << 16)
+              | ((uint32_t)kLengthExtra[li] << 28);
+        } else {
+          v = len | kPkBad;
+        }
+      } else {
+        if (sym <= 29) {
+          v = len | ((uint32_t)kDistExtra[sym] << 8) | (kBaseDists[sym] << 16);
+        } else {
+          v = len | kPkBad;
+        }
+      }
+      lut32[i] = v;
+    }
+  }
+
   // Returns symbol or -1 on invalid code.
   inline int decode(BitReader& br) const {
     uint32_t window = br.peek(15);
@@ -274,7 +444,9 @@ struct FixedTables {
     for (int i = 280; i < 288; i++) ll[i] = 8;
     for (int i = 0; i < 30; i++) dd[i] = 5;
     litlen.build(ll, 288);
+    litlen.build_packed(true);
     dist.build(dd, 30);
+    dist.build_packed(false);
   }
 };
 const FixedTables kFixed;
@@ -359,6 +531,8 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       if (lens[256] == 0) return ZT_ERR_MALFORMED;  // EOB must be codable
       if (!dyn_litlen.build(lens, (int)hlit)) return ZT_ERR_MALFORMED;
       if (!dyn_dist.build(lens + hlit, (int)hdist)) return ZT_ERR_MALFORMED;
+      dyn_litlen.build_packed(true);
+      dyn_dist.build_packed(false);
       litlen = &dyn_litlen;
       dist = &dyn_dist;
     }
@@ -374,33 +548,66 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
     while (!eob && op + 300 <= dst_cap) {
       br.refill();
       if (br.consumed() > src_bits + 64) return ZT_ERR_MALFORMED;
-      int sym = litlen->decode(br);
-      if (sym < 256) {
-        if (sym < 0) return ZT_ERR_MALFORMED;
-        dst[op++] = (uint8_t)sym;
-        sym = litlen->decode(br);
-        if (sym < 256) {
-          if (sym < 0) return ZT_ERR_MALFORMED;
-          dst[op++] = (uint8_t)sym;
-          sym = litlen->decode(br);
-          if (sym < 256) {
-            if (sym < 0) return ZT_ERR_MALFORMED;
-            dst[op++] = (uint8_t)sym;
+      // Packed-LUT decode: one 32-bit entry carries literal byte or length
+      // base + extra-bit count, so the common paths touch no other tables.
+      uint32_t e = litlen->lut32[br.buf & kLutMask];
+      if (e & kPkLit) {
+        dst[op++] = (uint8_t)(e >> 8);
+        br.drop(e & 15);
+        e = litlen->lut32[br.buf & kLutMask];
+        if (e & kPkLit) {
+          dst[op++] = (uint8_t)(e >> 8);
+          br.drop(e & 15);
+          e = litlen->lut32[br.buf & kLutMask];
+          if (e & kPkLit) {
+            dst[op++] = (uint8_t)(e >> 8);
+            br.drop(e & 15);
             continue;
           }
         }
       }
-      if (sym == 256) {
-        eob = true;
-        break;
+      uint32_t length;
+      if (e & 15) {
+        if (e & kPkEob) {
+          br.drop(e & 15);
+          eob = true;
+          break;
+        }
+        if (e & kPkBad) return ZT_ERR_MALFORMED;
+        br.drop(e & 15);
+        uint32_t ebits = e >> 28;
+        length = ((e >> 16) & 0x1FF)
+                 + (uint32_t)(br.buf & ((1u << ebits) - 1));
+        br.drop((int)ebits);
+      } else {
+        // Long code (> kLutBits): canonical slow path.
+        int sym = litlen->decode(br);
+        if (sym < 0 || sym > 285) return ZT_ERR_MALFORMED;
+        if (sym < 256) {
+          dst[op++] = (uint8_t)sym;
+          continue;
+        }
+        if (sym == 256) {
+          eob = true;
+          break;
+        }
+        uint32_t li = sym - 257;
+        length = kBaseLengths[li] + br.bits(kLengthExtra[li]);
       }
-      if (sym > 285) return ZT_ERR_MALFORMED;
-      uint32_t li = sym - 257;
-      uint32_t length = kBaseLengths[li] + br.bits(kLengthExtra[li]);
       br.refill();
-      int dsym = dist->decode(br);
-      if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
-      uint32_t distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
+      uint32_t de = dist->lut32[br.buf & kLutMask];
+      uint32_t distance;
+      if (de & 15) {
+        if (de & kPkBad) return ZT_ERR_MALFORMED;
+        br.drop(de & 15);
+        uint32_t dbits = (de >> 8) & 15;
+        distance = (de >> 16) + (uint32_t)(br.buf & ((1u << dbits) - 1));
+        br.drop((int)dbits);
+      } else {
+        int dsym = dist->decode(br);
+        if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
+        distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
+      }
       if (distance > op) return ZT_ERR_MALFORMED;
       uint8_t* d = dst + op;
       const uint8_t* s = d - distance;
@@ -723,16 +930,28 @@ struct Matcher {
     int chain = cfg.chain;
     if (prev_len >= cfg.good) chain >>= 2;  // zlib good_match shortcut
     int max_len = (int)std::min<size_t>(kMaxMatch, n - pos);
+    best_len = prev_len > 0 ? prev_len : 0;
+    if (best_len >= max_len) {
+      best_len = 0;
+      return;
+    }
+    const uint8_t* scan = src + pos;
     while (cand >= 0 && (size_t)cand + kWindow > pos && chain-- > 0) {
-      int len = match_len(src + pos, src + cand, max_len);
-      if (len > best_len) {
-        best_len = len;
-        best_dist = (uint32_t)(pos - cand);
-        if (len >= cfg.nice) break;
+      // Cheap filter: a candidate can only improve on best_len if it also
+      // matches at scan[best_len] (zlib's scan_end trick).
+      if (src[cand + best_len] == scan[best_len] &&
+          read32(src + cand) == read32(scan)) {
+        int len = match_len(scan, src + cand, max_len);
+        if (len > best_len) {
+          best_len = len;
+          best_dist = (uint32_t)(pos - cand);
+          if (len >= cfg.nice || len >= max_len) break;
+        }
       }
       int32_t nxt = prev[cand & (kWindow - 1)];
       cand = ((size_t)nxt < (size_t)cand) ? nxt : -1;
     }
+    if (best_len <= prev_len) best_len = 0;  // no strict improvement found
   }
 
   inline void insert_span(size_t from, size_t to) {  // [from, to)
@@ -765,10 +984,13 @@ inline void flush_literal_run(TokenStream& ts, const uint8_t* src,
 // snappy-style skip-ahead through incompressible data (reference snappy.nim:
 // encodeFragment :12, skip heuristic :90). No chains, no lazy evaluation.
 void tokenize_fast(const uint8_t* src, size_t start, size_t end,
-                   TokenStream& ts) {
+                   TokenStream& ts, size_t hist_from) {
   const int kFastBits = 14;
   std::vector<int32_t> table((size_t)1 << kFastBits, -1);
   auto fhash = [](uint32_t v) { return (v * 0x9E3779B1u) >> (32 - kFastBits); };
+  // Seed history (sparsely — every 2nd position is enough for BestSpeed).
+  for (size_t i = hist_from; i + kMinMatch <= start; i += 2)
+    table[fhash(read32(src + i))] = (int32_t)i;
   size_t pos = start, lit_start = start;
   uint32_t skip = 32;
   while (pos + kMinMatch <= end) {
@@ -800,14 +1022,18 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
 }
 
 void tokenize(const uint8_t* src, size_t start, size_t end, int level,
-              TokenStream& ts) {
+              TokenStream& ts, size_t hist_from) {
   if (level == 1) {
-    tokenize_fast(src, start, end, ts);
+    tokenize_fast(src, start, end, ts, hist_from);
     return;
   }
   const LevelCfg cfg = kLevels[level];
   const size_t n = end;
   Matcher m(src, end, cfg);
+  // Seed the window with history before the encode start (cross-boundary
+  // matches; the reference resets its window per 4 MiB block instead,
+  // lz77.nim:63-64 — continuous history is a strict ratio improvement).
+  m.insert_span(hist_from, start);
   size_t pos = start;
   size_t lit_start = start;
   int miss_streak = 0;
@@ -997,7 +1223,8 @@ uint64_t huffman_cost_bits(const TokenStream& ts, const uint8_t* ll_lens,
 }
 
 void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
-                 const TokenStream& ts, const CodeSet& cs) {
+                 const TokenStream& ts, const CodeSet& cs,
+                 bool emit_eob = true) {
   size_t pos = start;
   for (uint32_t t : ts.tokens) {
     if (t & 0x80000000u) {
@@ -1019,7 +1246,8 @@ void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
       pos += t;
     }
   }
-  bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);  // end of block
+  if (emit_eob)
+    bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);  // end of block
 }
 
 void emit_stored(BitWriter& bw, const uint8_t* src, size_t start, size_t len,
@@ -1053,13 +1281,82 @@ void emit_stored(BitWriter& bw, const uint8_t* src, size_t start, size_t len,
 // the last block; when `pad_to_byte` is false the result is the exact BIT
 // length (callers splice sub-streams at arbitrary bit offsets), otherwise
 // the padded byte length.
+
+// Dynamic-block planning shared by the per-block and MT shared-code paths.
+struct DynPlan {
+  CodeSet dyn;
+  uint32_t rle[286 + 30];
+  size_t rle_n;
+  uint8_t cl_lens[19];
+  uint16_t cl_codes[19];
+  int hlit, hdist, hclen;
+  uint64_t header_bits;
+};
+
+void plan_dynamic(const uint32_t* lit_freq, const uint32_t* dist_freq,
+                  DynPlan& p) {
+  build_code_lengths(lit_freq, 286, 15, p.dyn.litlen_lens);
+  build_code_lengths(dist_freq, 30, 15, p.dyn.dist_lens);
+  if (!p.dyn.litlen_lens[256]) p.dyn.litlen_lens[256] = 15;
+  {
+    int nz = 0;
+    for (int i = 0; i < 286; i++) nz += p.dyn.litlen_lens[i] != 0;
+    if (nz < 2) {
+      for (int i = 0; i < 286 && nz < 2; i++)
+        if (!p.dyn.litlen_lens[i]) {
+          p.dyn.litlen_lens[i] = 1;
+          nz++;
+        }
+      if (p.dyn.litlen_lens[256] > 1) p.dyn.litlen_lens[256] = 1;
+    }
+  }
+  canonical_codes(p.dyn.litlen_lens, 286, p.dyn.litlen_codes);
+  canonical_codes(p.dyn.dist_lens, 30, p.dyn.dist_codes);
+
+  p.hlit = 286;
+  while (p.hlit > 257 && p.dyn.litlen_lens[p.hlit - 1] == 0) p.hlit--;
+  p.hdist = 30;
+  while (p.hdist > 1 && p.dyn.dist_lens[p.hdist - 1] == 0) p.hdist--;
+  uint8_t all_lens[286 + 30];
+  memcpy(all_lens, p.dyn.litlen_lens, p.hlit);
+  memcpy(all_lens + p.hlit, p.dyn.dist_lens, p.hdist);
+  uint32_t cl_freq[19] = {0};
+  p.rle_n = rle_code_lengths(all_lens, p.hlit + p.hdist, p.rle, cl_freq);
+  build_code_lengths(cl_freq, 19, 7, p.cl_lens);
+  canonical_codes(p.cl_lens, 19, p.cl_codes);
+  p.hclen = 19;
+  while (p.hclen > 4 && p.cl_lens[kClclOrder[p.hclen - 1]] == 0) p.hclen--;
+
+  p.header_bits = 5 + 5 + 4 + 3ull * p.hclen;
+  for (size_t i = 0; i < p.rle_n; i++) {
+    uint32_t sym = p.rle[i] & 0xFF;
+    p.header_bits += p.cl_lens[sym] + (p.rle[i] >> 24);
+  }
+}
+
+void emit_dynamic_header(BitWriter& bw, const DynPlan& p) {
+  bw.add((uint32_t)(p.hlit - 257), 5);
+  bw.add((uint32_t)(p.hdist - 1), 5);
+  bw.add((uint32_t)(p.hclen - 4), 4);
+  for (int i = 0; i < p.hclen; i++) bw.add(p.cl_lens[kClclOrder[i]], 3);
+  for (size_t i = 0; i < p.rle_n; i++) {
+    uint32_t sym = p.rle[i] & 0xFF;
+    bw.add(p.cl_codes[sym], p.cl_lens[sym]);
+    uint32_t extra = p.rle[i] >> 24;
+    if (extra) bw.add((p.rle[i] >> 8) & 0xFFFF, (int)extra);
+  }
+}
+
+// Encodes src[enc_start, src_len); bytes before enc_start are window
+// history only (for parallel parts and cross-block matches).
 int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
                      uint8_t* dst, size_t dst_cap,
-                     bool mark_final = true, bool pad_to_byte = true) {
+                     bool mark_final = true, bool pad_to_byte = true,
+                     size_t enc_start = 0) {
   if (level < -2 || level > 9) return ZT_ERR_MALFORMED;
   BitWriter bw(dst, dst_cap);
 
-  if (src_len == 0) {
+  if (src_len == enc_start) {
     // single empty block (fixed huffman: just EOB) — or an empty stored block
     bw.add(mark_final ? 1 : 0, 1);
     bw.add(1, 2);
@@ -1071,14 +1368,14 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
   }
 
   if (level == 0) {
-    emit_stored(bw, src, 0, src_len, mark_final);
+    emit_stored(bw, src, enc_start, src_len - enc_start, mark_final);
     size_t out = pad_to_byte ? bw.finish() : bw.finish_bits();
     return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
   }
 
-  size_t nblocks = (src_len + kMaxBlock - 1) / kMaxBlock;
+  size_t nblocks = (src_len - enc_start + kMaxBlock - 1) / kMaxBlock;
   for (size_t b = 0; b < nblocks; b++) {
-    size_t start = b * kMaxBlock;
+    size_t start = enc_start + b * kMaxBlock;
     size_t end = std::min(start + kMaxBlock, src_len);
     bool final_block = (b == nblocks - 1) && mark_final;
 
@@ -1097,54 +1394,34 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
       ts.lit_freq[256]++;
     } else {
       int lvl = level == -1 ? 6 : level;
-      tokenize(src, start, end, lvl, ts);
+      size_t hist_from = start > kWindow ? start - kWindow : 0;
+      tokenize(src, start, end, lvl, ts, hist_from);
     }
 
-    // Build dynamic codes.
-    CodeSet dyn;
-    build_code_lengths(ts.lit_freq, 286, 15, dyn.litlen_lens);
-    build_code_lengths(ts.dist_freq, 30, 15, dyn.dist_lens);
-    if (!dyn.litlen_lens[256]) dyn.litlen_lens[256] = 15;  // EOB always codable
-    // Ensure at least 2 litlen codes and 1 dist slot for header sanity.
-    {
-      int nz = 0;
-      for (int i = 0; i < 286; i++) nz += dyn.litlen_lens[i] != 0;
-      if (nz < 2) {
-        for (int i = 0; i < 286 && nz < 2; i++)
-          if (!dyn.litlen_lens[i]) {
-            dyn.litlen_lens[i] = 1;
-            nz++;
-          }
-        if (dyn.litlen_lens[256] > 1) dyn.litlen_lens[256] = 1;
+    // Incompressible shortcut: if the block is nearly all literals AND the
+    // literal entropy is ~8 bits/byte, stored wins — skip the Huffman build
+    // entirely (the reference's >=98%-literal rule, deflate.nim:275-277,
+    // plus an entropy check so HuffmanOnly-compressible text still codes).
+    size_t blen_early = end - start;
+    if (level != -2 && ts.n_literals >= blen_early - blen_early / 50) {
+      double bits = 0;
+      double n_lit = (double)ts.n_literals;
+      for (int s2 = 0; s2 < 256; s2++)
+        if (ts.lit_freq[s2])
+          bits += ts.lit_freq[s2] *
+                  __builtin_log2(n_lit / ts.lit_freq[s2]);
+      if (bits >= n_lit * 7.8) {
+        emit_stored(bw, src, start, blen_early, final_block);
+        if (bw.full) return ZT_ERR_DST_FULL;
+        continue;
       }
     }
-    canonical_codes(dyn.litlen_lens, 286, dyn.litlen_codes);
-    canonical_codes(dyn.dist_lens, 30, dyn.dist_codes);
 
-    // Dynamic header cost.
-    int hlit = 286;
-    while (hlit > 257 && dyn.litlen_lens[hlit - 1] == 0) hlit--;
-    int hdist = 30;
-    while (hdist > 1 && dyn.dist_lens[hdist - 1] == 0) hdist--;
-    uint8_t all_lens[286 + 30];
-    memcpy(all_lens, dyn.litlen_lens, hlit);
-    memcpy(all_lens + hlit, dyn.dist_lens, hdist);
-    uint32_t rle[286 + 30];
-    uint32_t cl_freq[19] = {0};
-    size_t rle_n = rle_code_lengths(all_lens, hlit + hdist, rle, cl_freq);
-    uint8_t cl_lens[19];
-    build_code_lengths(cl_freq, 19, 7, cl_lens);
-    uint16_t cl_codes[19];
-    canonical_codes(cl_lens, 19, cl_codes);
-    int hclen = 19;
-    while (hclen > 4 && cl_lens[kClclOrder[hclen - 1]] == 0) hclen--;
-
-    uint64_t header_bits = 5 + 5 + 4 + 3ull * hclen;
-    for (size_t i = 0; i < rle_n; i++) {
-      uint32_t sym = rle[i] & 0xFF;
-      header_bits += cl_lens[sym] + (rle[i] >> 24);
-    }
-    uint64_t dyn_bits = 3 + header_bits +
+    // Build dynamic codes + header plan.
+    DynPlan plan;
+    plan_dynamic(ts.lit_freq, ts.dist_freq, plan);
+    CodeSet& dyn = plan.dyn;
+    uint64_t dyn_bits = 3 + plan.header_bits +
                         huffman_cost_bits(ts, dyn.litlen_lens, dyn.dist_lens);
 
     CodeSet fix;
@@ -1165,16 +1442,7 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
     } else {
       bw.add(final_block ? 1 : 0, 1);
       bw.add(2, 2);
-      bw.add((uint32_t)(hlit - 257), 5);
-      bw.add((uint32_t)(hdist - 1), 5);
-      bw.add((uint32_t)(hclen - 4), 4);
-      for (int i = 0; i < hclen; i++) bw.add(cl_lens[kClclOrder[i]], 3);
-      for (size_t i = 0; i < rle_n; i++) {
-        uint32_t sym = rle[i] & 0xFF;
-        bw.add(cl_codes[sym], cl_lens[sym]);
-        uint32_t extra = rle[i] >> 24;
-        if (extra) bw.add((rle[i] >> 8) & 0xFFFF, (int)extra);
-      }
+      emit_dynamic_header(bw, plan);
       emit_tokens(bw, src, start, ts, dyn);
     }
     if (bw.full) return ZT_ERR_DST_FULL;
@@ -1191,8 +1459,8 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
 // part boundaries) but is a valid stream; threshold keeps the ratio cost tiny.
 // ---------------------------------------------------------------------------
 
-const size_t kMtMinInput = 512 * 1024;   // don't thread below this
-const size_t kMtMinPart = 256 * 1024;    // at least this many bytes per part
+const size_t kMtMinInput = 48 * 1024;    // don't thread below this
+const size_t kMtMinPart = 24 * 1024;     // at least this many bytes per part
 
 size_t deflate_bound(size_t n) {
   // n/6 slack covers HuffmanOnly (level -2) on incompressible data, which
@@ -1209,13 +1477,103 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     return deflate_impl(src, src_len, level, dst, dst_cap);
 
   size_t nparts = max_parts;
-  size_t part = ((src_len / nparts) + 0xFFFF) & ~(size_t)0xFFFF;
+  size_t part = ((src_len / nparts) + 0xFFF) & ~(size_t)0xFFF;
   nparts = (src_len + part - 1) / part;
   if (nparts < 2) return deflate_impl(src, src_len, level, dst, dst_cap);
 
   std::vector<std::vector<uint8_t>> bufs(nparts);
   std::vector<int64_t> nbits(nparts, 0);
   std::vector<std::thread> threads;
+
+  if (src_len <= kMaxBlock && level != -2) {
+    // Shared-code path: tokenize parts in parallel, build ONE code table
+    // from the merged histograms, serialize parts in parallel, splice into a
+    // SINGLE deflate block — same block/header count as the single-threaded
+    // encoder, so the split costs no ratio.
+    int lvl = level == -1 ? 6 : level;
+    std::vector<TokenStream> tss(nparts);
+    for (size_t t = 0; t < nparts; t++) {
+      size_t start = t * part;
+      size_t end = std::min(start + part, src_len);
+      threads.emplace_back([&, t, start, end] {
+        size_t hist_from = start > (size_t)kWindow ? start - kWindow : 0;
+        tokenize(src, start, end, lvl, tss[t], hist_from);
+        tss[t].lit_freq[256]--;  // merged stream has ONE end-of-block code
+      });
+    }
+    for (auto& th : threads) th.join();
+    threads.clear();
+
+    TokenStream merged;  // histogram container only (tokens stay per-part)
+    for (size_t t = 0; t < nparts; t++) {
+      for (int i = 0; i < 286; i++) merged.lit_freq[i] += tss[t].lit_freq[i];
+      for (int i = 0; i < 30; i++) merged.dist_freq[i] += tss[t].dist_freq[i];
+      merged.n_literals += tss[t].n_literals;
+    }
+    merged.lit_freq[256]++;
+
+    BitWriter bw(dst, dst_cap);
+    // Incompressible shortcut (same rule as deflate_impl).
+    bool use_stored = false;
+    if (merged.n_literals >= src_len - src_len / 50) {
+      double bits = 0;
+      double n_lit = (double)merged.n_literals;
+      for (int s2 = 0; s2 < 256; s2++)
+        if (merged.lit_freq[s2])
+          bits += merged.lit_freq[s2] *
+                  __builtin_log2(n_lit / merged.lit_freq[s2]);
+      use_stored = bits >= n_lit * 7.8;
+    }
+
+    DynPlan plan;
+    uint64_t dyn_bits = UINT64_MAX, fix_bits = UINT64_MAX;
+    CodeSet fix;
+    if (!use_stored) {
+      plan_dynamic(merged.lit_freq, merged.dist_freq, plan);
+      dyn_bits = 3 + plan.header_bits +
+                 huffman_cost_bits(merged, plan.dyn.litlen_lens,
+                                   plan.dyn.dist_lens);
+      fixed_codeset(fix);
+      uint64_t fc = huffman_cost_bits(merged, fix.litlen_lens, fix.dist_lens);
+      fix_bits = fc == UINT64_MAX ? UINT64_MAX : 3 + fc;
+      uint64_t stored_bits =
+          ((src_len + kMaxStored - 1) / kMaxStored) * 5ull * 8 +
+          src_len * 8ull + 7;
+      use_stored = stored_bits < dyn_bits && stored_bits < fix_bits;
+    }
+
+    if (use_stored) {
+      emit_stored(bw, src, 0, src_len, true);
+      size_t out = bw.finish();
+      return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+    }
+
+    const CodeSet& cs = fix_bits <= dyn_bits ? fix : plan.dyn;
+    for (size_t t = 0; t < nparts; t++) {
+      size_t start = t * part;
+      // Shared codes can be poor for a heterogeneous part: worst case is
+      // 15 bits per literal, so size for 2x rather than deflate_bound.
+      bufs[t].resize(2 * std::min(part, src_len - start) + 512);
+      threads.emplace_back([&, t, start] {
+        BitWriter pbw(bufs[t].data(), bufs[t].size());
+        emit_tokens(pbw, src, start, tss[t], cs, /*emit_eob=*/false);
+        nbits[t] = pbw.full ? ZT_ERR_DST_FULL : (int64_t)pbw.finish_bits();
+      });
+    }
+    for (auto& th : threads) th.join();
+
+    bw.add(1, 1);  // BFINAL: single block
+    bw.add(fix_bits <= dyn_bits ? 1 : 2, 2);
+    if (fix_bits > dyn_bits) emit_dynamic_header(bw, plan);
+    for (size_t t = 0; t < nparts; t++) {
+      if (nbits[t] < 0) return nbits[t];
+      bw.append_stream(bufs[t].data(), (size_t)nbits[t]);
+    }
+    bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);  // end of block
+    size_t out = bw.finish();
+    return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+  }
+
   for (size_t t = 0; t < nparts; t++) {
     size_t start = t * part;
     size_t end = std::min(start + part, src_len);
@@ -1223,8 +1581,10 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     bool final_part = (t == nparts - 1);
     threads.emplace_back([&, t, start, end, final_part] {
       // All parts return exact bit counts; only BFINAL marking differs.
-      nbits[t] = deflate_impl(src + start, end - start, level, bufs[t].data(),
-                              bufs[t].size(), final_part, false);
+      // The whole buffer is shared read-only: each part sees the previous
+      // 32 KiB as match history, so the split costs almost no ratio.
+      nbits[t] = deflate_impl(src, end, level, bufs[t].data(),
+                              bufs[t].size(), final_part, false, start);
     });
   }
   for (auto& th : threads) th.join();
