@@ -19,6 +19,11 @@
 #include <vector>
 #include <algorithm>
 #include <thread>
+#include <mutex>
+#include <condition_variable>
+#include <functional>
+#include <deque>
+#include <atomic>
 
 namespace {
 
@@ -1239,10 +1244,16 @@ void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
       if (kDistExtra[di]) bw.add(dist - kBaseDists[di], kDistExtra[di]);
       pos += len;
     } else {
-      for (uint32_t k = 0; k < t; k++) {
-        uint8_t b = src[pos + k];
-        bw.add(cs.litlen_codes[b], cs.litlen_lens[b]);
+      // Two literals per add(): codes are <= 15 bits so a pair fits in 30.
+      const uint8_t* lp = src + pos;
+      uint32_t k = 0;
+      for (; k + 2 <= t; k += 2) {
+        uint8_t b0 = lp[k], b1 = lp[k + 1];
+        int l0 = cs.litlen_lens[b0];
+        bw.add(cs.litlen_codes[b0] | ((uint32_t)cs.litlen_codes[b1] << l0),
+               l0 + cs.litlen_lens[b1]);
       }
+      if (k < t) bw.add(cs.litlen_codes[lp[k]], cs.litlen_lens[lp[k]]);
       pos += t;
     }
   }
@@ -1459,8 +1470,77 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
 // part boundaries) but is a valid stream; threshold keeps the ratio cost tiny.
 // ---------------------------------------------------------------------------
 
-const size_t kMtMinInput = 48 * 1024;    // don't thread below this
-const size_t kMtMinPart = 24 * 1024;     // at least this many bytes per part
+const size_t kMtMinInput = 32 * 1024;    // don't thread below this
+const size_t kMtMinPart = 16 * 1024;     // at least this many bytes per part
+
+// Persistent worker pool: spawning std::thread costs 30-80 us, which
+// dominates sub-millisecond parts. Workers are created once; the caller
+// thread always runs part 0 itself.
+class WorkerPool {
+ public:
+  static WorkerPool& instance() {
+    static WorkerPool pool;
+    return pool;
+  }
+
+  // Run fn(0..n-1); fn(0) on the calling thread, the rest on workers.
+  void parallel_for(size_t n, const std::function<void(size_t)>& fn) {
+    if (n <= 1) {
+      if (n == 1) fn(0);
+      return;
+    }
+    std::atomic<size_t> remaining((size_t)n - 1);
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      for (size_t t = 1; t < n; t++)
+        q_.push_back([&fn, t, &remaining, this] {
+          fn(t);
+          if (remaining.fetch_sub(1) == 1) {
+            std::lock_guard<std::mutex> lk2(done_m_);
+            done_cv_.notify_all();
+          }
+        });
+    }
+    cv_.notify_all();
+    fn(0);
+    std::unique_lock<std::mutex> lk(done_m_);
+    done_cv_.wait(lk, [&] { return remaining.load() == 0; });
+  }
+
+ private:
+  WorkerPool() {
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t nworkers = hw > 1 ? hw - 1 : 1;
+    for (size_t i = 0; i < nworkers; i++)
+      workers_.emplace_back([this] { worker_loop(); });
+  }
+  ~WorkerPool() {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+  void worker_loop() {
+    for (;;) {
+      std::function<void()> task;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return stop_ || !q_.empty(); });
+        if (stop_ && q_.empty()) return;
+        task = std::move(q_.front());
+        q_.pop_front();
+      }
+      task();
+    }
+  }
+  std::mutex m_, done_m_;
+  std::condition_variable cv_, done_cv_;
+  std::deque<std::function<void()>> q_;
+  std::vector<std::thread> workers_;
+  bool stop_ = false;
+};
 
 size_t deflate_bound(size_t n) {
   // n/6 slack covers HuffmanOnly (level -2) on incompressible data, which
@@ -1469,10 +1549,23 @@ size_t deflate_bound(size_t n) {
   return n + n / 6 + (n / kMaxStored + 1) * 5 + 256;
 }
 
+unsigned zt_num_threads() {
+  static unsigned n = [] {
+    const char* e = getenv("ZT_THREADS");
+    if (e && *e) {
+      long v = strtol(e, nullptr, 10);
+      if (v >= 1 && v <= 256) return (unsigned)v;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? hw : 1u;
+  }();
+  return n;
+}
+
 int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
                    size_t dst_cap) {
-  unsigned hw = std::thread::hardware_concurrency();
-  size_t max_parts = std::min<size_t>(hw ? hw : 1, src_len / kMtMinPart);
+  unsigned hw = zt_num_threads();
+  size_t max_parts = std::min<size_t>(hw, src_len / kMtMinPart);
   if (level == 0 || src_len < kMtMinInput || max_parts < 2)
     return deflate_impl(src, src_len, level, dst, dst_cap);
 
@@ -1483,7 +1576,7 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
 
   std::vector<std::vector<uint8_t>> bufs(nparts);
   std::vector<int64_t> nbits(nparts, 0);
-  std::vector<std::thread> threads;
+  WorkerPool& pool = WorkerPool::instance();
 
   if (src_len <= kMaxBlock && level != -2) {
     // Shared-code path: tokenize parts in parallel, build ONE code table
@@ -1492,17 +1585,13 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     // encoder, so the split costs no ratio.
     int lvl = level == -1 ? 6 : level;
     std::vector<TokenStream> tss(nparts);
-    for (size_t t = 0; t < nparts; t++) {
+    pool.parallel_for(nparts, [&](size_t t) {
       size_t start = t * part;
       size_t end = std::min(start + part, src_len);
-      threads.emplace_back([&, t, start, end] {
-        size_t hist_from = start > (size_t)kWindow ? start - kWindow : 0;
-        tokenize(src, start, end, lvl, tss[t], hist_from);
-        tss[t].lit_freq[256]--;  // merged stream has ONE end-of-block code
-      });
-    }
-    for (auto& th : threads) th.join();
-    threads.clear();
+      size_t hist_from = start > (size_t)kWindow ? start - kWindow : 0;
+      tokenize(src, start, end, lvl, tss[t], hist_from);
+      tss[t].lit_freq[256]--;  // merged stream has ONE end-of-block code
+    });
 
     TokenStream merged;  // histogram container only (tokens stay per-part)
     for (size_t t = 0; t < nparts; t++) {
@@ -1550,17 +1639,16 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
 
     const CodeSet& cs = fix_bits <= dyn_bits ? fix : plan.dyn;
     for (size_t t = 0; t < nparts; t++) {
-      size_t start = t * part;
       // Shared codes can be poor for a heterogeneous part: worst case is
       // 15 bits per literal, so size for 2x rather than deflate_bound.
-      bufs[t].resize(2 * std::min(part, src_len - start) + 512);
-      threads.emplace_back([&, t, start] {
-        BitWriter pbw(bufs[t].data(), bufs[t].size());
-        emit_tokens(pbw, src, start, tss[t], cs, /*emit_eob=*/false);
-        nbits[t] = pbw.full ? ZT_ERR_DST_FULL : (int64_t)pbw.finish_bits();
-      });
+      bufs[t].resize(2 * std::min(part, src_len - t * part) + 512);
     }
-    for (auto& th : threads) th.join();
+    pool.parallel_for(nparts, [&](size_t t) {
+      size_t start = t * part;
+      BitWriter pbw(bufs[t].data(), bufs[t].size());
+      emit_tokens(pbw, src, start, tss[t], cs, /*emit_eob=*/false);
+      nbits[t] = pbw.full ? ZT_ERR_DST_FULL : (int64_t)pbw.finish_bits();
+    });
 
     bw.add(1, 1);  // BFINAL: single block
     bw.add(fix_bits <= dyn_bits ? 1 : 2, 2);
@@ -1574,20 +1662,17 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
   }
 
-  for (size_t t = 0; t < nparts; t++) {
+  for (size_t t = 0; t < nparts; t++)
+    bufs[t].resize(deflate_bound(std::min(part, src_len - t * part)));
+  pool.parallel_for(nparts, [&](size_t t) {
     size_t start = t * part;
     size_t end = std::min(start + part, src_len);
-    bufs[t].resize(deflate_bound(end - start));
-    bool final_part = (t == nparts - 1);
-    threads.emplace_back([&, t, start, end, final_part] {
-      // All parts return exact bit counts; only BFINAL marking differs.
-      // The whole buffer is shared read-only: each part sees the previous
-      // 32 KiB as match history, so the split costs almost no ratio.
-      nbits[t] = deflate_impl(src, end, level, bufs[t].data(),
-                              bufs[t].size(), final_part, false, start);
-    });
-  }
-  for (auto& th : threads) th.join();
+    // All parts return exact bit counts; only BFINAL marking differs.
+    // The whole buffer is shared read-only: each part sees the previous
+    // 32 KiB as match history, so the split costs almost no ratio.
+    nbits[t] = deflate_impl(src, end, level, bufs[t].data(),
+                            bufs[t].size(), t == nparts - 1, false, start);
+  });
 
   BitWriter bw(dst, dst_cap);
   for (size_t t = 0; t < nparts; t++) {
