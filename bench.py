@@ -9,8 +9,10 @@ compress BestSpeed (L1), compress Default (L6) over the same corpus files.
 
 The published numbers were measured on a Ryzen 5 5600X; this machine differs.
 Every published row also includes system zlib's time on the same op/file, so
-we calibrate per row: measure local zlib, scale zippy's published time by
-(zlib_local / zlib_published), and compare our time against that scaled value.
+we calibrate: measure local zlib per row, compute the per-row machine-speed
+factor (zlib_local / zlib_published), take the MEDIAN factor across all rows
+(per-row factors are meaningless for microsecond rows, where allocator and
+harness noise dominate), scale zippy's published times by it, and compare.
 vs_baseline > 1.0 means faster than zippy would be on this machine.
 
 Run `python bench.py --verbose` for the per-op breakdown on stderr.
@@ -84,26 +86,15 @@ def _zlib_inflate(blob: bytes) -> bytes:
 
 def main() -> None:
     verbose = "--verbose" in sys.argv
-    speedups = []
-    lines = []
-
-    def record(op, name, ours_ms, zlib_local_ms, zippy_pub, zlib_pub) -> None:
-        zippy_scaled = zippy_pub * (zlib_local_ms / zlib_pub)
-        speedup = zippy_scaled / ours_ms if ours_ms > 0 else 0.0
-        speedups.append(speedup)
-        lines.append(
-            f"{op:18s} {name:16s} ours {ours_ms:8.3f} ms  "
-            f"zippy(scaled) {zippy_scaled:8.3f} ms  "
-            f"zlib(local) {zlib_local_ms:8.3f} ms  {speedup:5.2f}x"
-        )
+    rows = []  # (op, name, ours_ms, zlib_local_ms, zippy_pub, zlib_pub)
 
     for name, (zippy_pub, zlib_pub) in UNCOMPRESS.items():
         raw = (DATA / name).read_bytes()
         gz = zippy_tpu.compress(raw, 1, zippy_tpu.dfGzip)
         d = _zlib_deflate(raw, 1)
-        record("uncompress", name,
-               _min_time(zippy_tpu.uncompress, gz),
-               _min_time(_zlib_inflate, d), zippy_pub, zlib_pub)
+        rows.append(("uncompress", name,
+                     _min_time(zippy_tpu.uncompress, gz),
+                     _min_time(_zlib_inflate, d), zippy_pub, zlib_pub))
 
     for level, table, op in (
         (1, COMPRESS_L1, "compress L1"),
@@ -112,10 +103,27 @@ def main() -> None:
         zl = 6 if level == -1 else level
         for name, (zippy_pub, zlib_pub) in table.items():
             raw = (DATA / name).read_bytes()
-            record(op, name,
-                   _min_time(zippy_tpu.compress, raw, level,
-                             zippy_tpu.dfDeflate),
-                   _min_time(_zlib_deflate, raw, zl), zippy_pub, zlib_pub)
+            rows.append((op, name,
+                         _min_time(zippy_tpu.compress, raw, level,
+                                   zippy_tpu.dfDeflate),
+                         _min_time(_zlib_deflate, raw, zl),
+                         zippy_pub, zlib_pub))
+
+    # One robust machine-speed factor for the whole table.
+    scale = statistics.median(
+        zlib_local / zlib_pub for _, _, _, zlib_local, _, zlib_pub in rows
+    )
+    speedups = []
+    lines = [f"machine-speed factor (median zlib_local/zlib_pub): {scale:.3f}"]
+    for op, name, ours_ms, zlib_local_ms, zippy_pub, zlib_pub in rows:
+        zippy_scaled = zippy_pub * scale
+        speedup = zippy_scaled / ours_ms if ours_ms > 0 else 0.0
+        speedups.append(speedup)
+        lines.append(
+            f"{op:18s} {name:16s} ours {ours_ms:8.3f} ms  "
+            f"zippy(scaled) {zippy_scaled:8.3f} ms  "
+            f"zlib(local) {zlib_local_ms:8.3f} ms  {speedup:5.2f}x"
+        )
 
     geomean = statistics.geometric_mean(speedups)
     if verbose:

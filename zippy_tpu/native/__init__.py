@@ -10,8 +10,17 @@ from __future__ import annotations
 import ctypes
 import functools
 
+import numpy as np
+
 from ..common import ZippyError
 from .build import ensure_built
+
+
+def _out_buffer(cap: int):
+    """Uninitialized output buffer + its ctypes pointer (create_string_buffer
+    zero-fills, which costs ~1 us per 12 KB on the small-input fast path)."""
+    arr = np.empty(cap, dtype=np.uint8)
+    return arr, arr.ctypes.data_as(ctypes.c_char_p)
 
 _ERR_MALFORMED = -1
 _ERR_DST_FULL = -2
@@ -98,10 +107,10 @@ def inflate(
     cap = size_hint if size_hint is not None else max(4 * n, 1 << 16)
     end_bit = ctypes.c_size_t(0)
     while True:
-        buf = ctypes.create_string_buffer(cap)
+        arr, buf = _out_buffer(cap)
         rc = lib.zt_inflate(data, n, start_bit, buf, cap, ctypes.byref(end_bit))
         if rc >= 0:
-            return buf.raw[:rc], end_bit.value
+            return arr[:rc].tobytes(), end_bit.value
         if rc == _ERR_DST_FULL:
             if size_hint is not None and cap == size_hint:
                 # hint was wrong; fall back to growth
@@ -118,11 +127,11 @@ def inflate(
 def deflate(data: bytes, level: int) -> bytes:
     lib = _lib()
     cap = lib.zt_deflate_bound(len(data))
-    buf = ctypes.create_string_buffer(cap)
+    arr, buf = _out_buffer(cap)
     rc = lib.zt_deflate(data, len(data), level, buf, cap)
     if rc < 0:
         raise ZippyError(f"deflate failed (code {rc})")
-    return buf.raw[:rc]
+    return arr[:rc].tobytes()
 
 
 # Output-size guesses for whole-stream decode. DEFLATE expands at most
@@ -151,10 +160,10 @@ def gzip_uncompress(data: bytes) -> tuple[bytes, int]:
     cap = min(max(isize + 64, 1 << 12), n * _MAX_EXPANSION + 4096)
     consumed = ctypes.c_size_t(0)
     while True:
-        buf = ctypes.create_string_buffer(cap)
+        arr, buf = _out_buffer(cap)
         rc = lib.zt_gzip_uncompress(data, n, buf, cap, ctypes.byref(consumed))
         if rc >= 0:
-            return buf.raw[:rc], consumed.value
+            return arr[:rc].tobytes(), consumed.value
         if rc == _ERR_DST_FULL:
             cap = _grow_capped(cap, n * _MAX_EXPANSION + 4096)
             continue
@@ -166,11 +175,11 @@ def gzip_compress(data: bytes, level: int, name_pad: int = -1) -> bytes:
     FNAME of that many filler chars (anti-oracle padding)."""
     lib = _lib()
     cap = lib.zt_deflate_bound(len(data)) + 64
-    buf = ctypes.create_string_buffer(cap)
+    arr, buf = _out_buffer(cap)
     rc = lib.zt_gzip_compress(data, len(data), level, buf, cap, name_pad)
     if rc < 0:
         raise ZippyError(f"gzip compress failed (code {rc})")
-    return buf.raw[:rc]
+    return arr[:rc].tobytes()
 
 
 def zlib_uncompress(data: bytes) -> bytes:
@@ -181,10 +190,10 @@ def zlib_uncompress(data: bytes) -> bytes:
     max_out = n * _MAX_EXPANSION + 4096
     cap = min(max(8 * n, 1 << 16), max_out)
     while True:
-        buf = ctypes.create_string_buffer(cap)
+        arr, buf = _out_buffer(cap)
         rc = lib.zt_zlib_uncompress(data, n, buf, cap)
         if rc >= 0:
-            return buf.raw[:rc]
+            return arr[:rc].tobytes()
         if rc == _ERR_DST_FULL:
             cap = _grow_capped(cap, max_out)
             continue
@@ -194,8 +203,8 @@ def zlib_uncompress(data: bytes) -> bytes:
 def zlib_compress(data: bytes, level: int) -> bytes:
     lib = _lib()
     cap = lib.zt_deflate_bound(len(data)) + 16
-    buf = ctypes.create_string_buffer(cap)
+    arr, buf = _out_buffer(cap)
     rc = lib.zt_zlib_compress(data, len(data), level, buf, cap)
     if rc < 0:
         raise ZippyError(f"zlib compress failed (code {rc})")
-    return buf.raw[:rc]
+    return arr[:rc].tobytes()
