@@ -6,6 +6,13 @@ packing, checksums) runs on TPU; the bit-serial paths run in the native C++
 runtime; large inputs shard block-parallel across a device mesh.
 """
 
+import os as _os
+
+# numpy's BLAS worker threads spin-wait and steal cores from the native
+# multi-threaded codec; this library never does BLAS math.
+_os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+_os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 from .api import compress, uncompress
 from .tarballs import extract_all as extract_all_tarball
 from .tarballs_v1 import Tarball, TarballEntry, create_tarball

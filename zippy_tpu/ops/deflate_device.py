@@ -30,23 +30,12 @@ Histograms for dynamic Huffman come from segment sums; code construction
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import tables
-
-# Kernel compiles here are expensive (~40s each); persist them across runs.
-if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    _cache_dir = os.path.join(
-        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "zippy_tpu_jax",
-    )
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BLOCK_LOG = 16
 BLOCK = 1 << BLOCK_LOG          # device block size (fresh window per block)
@@ -457,12 +446,68 @@ class _ByteBitAppender:
         self.append_bits(buf, nbits)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "lazy"))
+def _find_tokens_batch(blocks, lens, *, k: int, lazy: bool):
+    return jax.vmap(lambda d, n: find_tokens(d, n, k=k, lazy=lazy))(
+        blocks, lens
+    )
+
+
+@jax.jit
+def _pack_tokens_batch(toks, ll_lens, ll_codes, d_lens, d_codes):
+    return jax.vmap(pack_tokens)(toks, ll_lens, ll_codes, d_lens, d_codes)
+
+
+# Batch group sizes: one compiled variant per size; the largest that fits the
+# remaining block count is used, so a 16 MiB input runs in ~16 dispatches
+# instead of 256. Intermediates are (G, N, k, L_CMP) — G=16 keeps that under
+# ~256 MB of HBM.
+_GROUP_SIZES = (16, 4, 1)
+
+
+def _build_block_tables(ll_hist, dist_hist, blen):
+    """Per-block host-side code construction + stored/fixed/dynamic choice."""
+    ll_lens = build_code_lengths(ll_hist, 15)
+    if ll_lens[256] == 0:
+        ll_lens[256] = 15
+    if (ll_lens != 0).sum() < 2:
+        for s in range(286):
+            if ll_lens[s] == 0:
+                ll_lens[s] = 1
+                break
+        ll_lens[256] = min(ll_lens[256], 1) or 1
+    dist_lens = build_code_lengths(dist_hist, 15)
+    header, header_bits = make_dynamic_header(ll_lens, dist_lens)
+
+    extra_bits = int(
+        (ll_hist[257:286] * tables.LENGTH_EXTRA_BITS).sum()
+        + (dist_hist * tables.DISTANCE_EXTRA_BITS).sum()
+    )
+    dyn_bits = 3 + header_bits + int(
+        (ll_hist * ll_lens).sum() + (dist_hist * dist_lens).sum()
+    ) + extra_bits
+    fix_bits = 3 + int(
+        (ll_hist * tables.FIXED_LITLEN_LENGTHS[:286]).sum()
+        + (dist_hist * tables.FIXED_DISTANCE_LENGTHS).sum()
+    ) + extra_bits
+    stored_bits = 8 * (blen + 5 * -(-blen // 0xFFFF)) + 7
+
+    if stored_bits < min(dyn_bits, fix_bits):
+        mode = "stored"
+    elif fix_bits <= dyn_bits:
+        mode = "fixed"
+    else:
+        mode = "dynamic"
+    return mode, ll_lens, dist_lens, header, header_bits
+
+
 def deflate(data: bytes, level: int, block_size: int = BLOCK) -> bytes:
     """Raw DEFLATE stream via the device pipeline (dynamic/fixed per block).
 
     Blocks (64 KiB by default) are matched, selected, and bit-packed on the
-    accelerator; the host builds per-block Huffman tables from device
-    histograms and splices block payloads with numpy bit shifts.
+    accelerator in vmapped groups (one dispatch per group, not per block);
+    the host builds per-block Huffman tables from device histograms and
+    splices block payloads with numpy bit shifts.
     """
     BLOCK = block_size
     arr = np.frombuffer(data, dtype=np.uint8)
@@ -477,93 +522,93 @@ def deflate(data: bytes, level: int, block_size: int = BLOCK) -> bytes:
     padded = np.zeros(nblocks * BLOCK + PAD, dtype=np.uint8)
     padded[:n] = arr
 
+    fixed_ll_lens = tables.FIXED_LITLEN_LENGTHS[:286].astype(np.int32)
+    fixed_ll_codes = tables.FIXED_LITLEN_CODES[:286].astype(np.uint32)
+    fixed_d_lens = tables.FIXED_DISTANCE_LENGTHS.astype(np.int32)
+    fixed_d_codes = tables.FIXED_DISTANCE_CODES.astype(np.uint32)
+
     out = _ByteBitAppender()
-    for bi in range(nblocks):
-        seg = jnp.asarray(padded[bi * BLOCK : (bi + 1) * BLOCK + PAD])
-        blen = min(BLOCK, n - bi * BLOCK)
-        tok = find_tokens(seg, jnp.int32(blen), k=k, lazy=lazy)
-        ll_hist = np.asarray(tok["ll_hist"])
-        dist_hist = np.asarray(tok["dist_hist"])
-        final = bi == nblocks - 1
+    bi = 0
+    while bi < nblocks:
+        gsize = next((s for s in _GROUP_SIZES if s <= nblocks - bi), 1)
+        blocks_np = np.zeros((gsize, BLOCK + PAD), np.uint8)
+        lens_np = np.zeros(gsize, np.int32)
+        for j in range(gsize):
+            b = bi + j
+            blocks_np[j] = padded[b * BLOCK : (b + 1) * BLOCK + PAD]
+            lens_np[j] = min(BLOCK, n - b * BLOCK)
 
-        ll_lens = build_code_lengths(ll_hist, 15)
-        if ll_lens[256] == 0:
-            ll_lens[256] = 15
-        if (ll_lens != 0).sum() < 2:
-            for s in range(286):
-                if ll_lens[s] == 0:
-                    ll_lens[s] = 1
-                    break
-            ll_lens[256] = min(ll_lens[256], 1) or 1
-        dist_lens = build_code_lengths(dist_hist, 15)
-        ll_codes = tables.canonical_codes(ll_lens)
-        dist_codes = tables.canonical_codes(dist_lens)
+        toks = _find_tokens_batch(jnp.asarray(blocks_np),
+                                  jnp.asarray(lens_np), k=k, lazy=lazy)
+        ll_hists = np.asarray(toks["ll_hist"])
+        dist_hists = np.asarray(toks["dist_hist"])
 
-        header, header_bits = make_dynamic_header(ll_lens, dist_lens)
+        modes, headers = [], []
+        ll_lens_b = np.zeros((gsize, 286), np.int32)
+        ll_codes_b = np.zeros((gsize, 286), np.uint32)
+        d_lens_b = np.zeros((gsize, 30), np.int32)
+        d_codes_b = np.zeros((gsize, 30), np.uint32)
+        for j in range(gsize):
+            mode, ll_lens, dist_lens, header, header_bits = (
+                _build_block_tables(ll_hists[j], dist_hists[j],
+                                    int(lens_np[j]))
+            )
+            modes.append(mode)
+            headers.append((header, header_bits))
+            if mode == "dynamic":
+                ll_lens_b[j] = ll_lens
+                ll_codes_b[j] = tables.canonical_codes(ll_lens)
+                d_lens_b[j] = dist_lens
+                d_codes_b[j] = tables.canonical_codes(dist_lens)
+            else:
+                ll_lens_b[j] = fixed_ll_lens
+                ll_codes_b[j] = fixed_ll_codes
+                d_lens_b[j] = fixed_d_lens
+                d_codes_b[j] = fixed_d_codes
 
-        # Cost comparison: dynamic vs fixed vs stored.
-        extra_bits = int(
-            (ll_hist[257:286] * tables.LENGTH_EXTRA_BITS).sum()
-            + (dist_hist * tables.DISTANCE_EXTRA_BITS).sum()
+        words_b, bits_b = _pack_tokens_batch(
+            toks, jnp.asarray(ll_lens_b), jnp.asarray(ll_codes_b),
+            jnp.asarray(d_lens_b), jnp.asarray(d_codes_b),
         )
-        dyn_body = int((ll_hist * ll_lens).sum()
-                       + (dist_hist * dist_lens).sum()) + extra_bits
-        fix_body = int((ll_hist * tables.FIXED_LITLEN_LENGTHS[:286]).sum()
-                       + (dist_hist * tables.FIXED_DISTANCE_LENGTHS).sum()
-                       ) + extra_bits
-        dyn_bits_total = 3 + header_bits + dyn_body
-        fix_bits_total = 3 + fix_body
-        stored_bits = 8 * (blen + 5 * -(-blen // 0xFFFF)) + 7
+        words_np = np.asarray(words_b).astype("<u4")
+        bits_np = np.asarray(bits_b)
 
-        if stored_bits < min(dyn_bits_total, fix_bits_total):
-            off = 0
-            while off < blen:
-                chunk = min(blen - off, 0xFFFF)
-                last = off + chunk == blen
-                bw = _HostBitWriter()
-                bw.add(1 if (final and last) else 0, 1)
-                bw.add(0, 2)
-                # LEN must start on a byte boundary of the GLOBAL stream.
-                pad = (-(out.bitpos + 3)) % 8
-                if pad:
-                    bw.add(0, pad)
-                bw.add(chunk, 16)
-                bw.add(chunk ^ 0xFFFF, 16)
-                out.append_host_writer(bw)
-                out.append_bits(
-                    padded[bi * BLOCK + off : bi * BLOCK + off + chunk],
-                    chunk * 8,
-                )
-                off += chunk
-            continue
-
-        use_fixed = fix_bits_total <= dyn_bits_total
-        if use_fixed:
-            lens_j = jnp.asarray(tables.FIXED_LITLEN_LENGTHS)
-            codes_j = jnp.asarray(
-                tables.FIXED_LITLEN_CODES.astype(np.int64)).astype(_U)
-            dlens_j = jnp.asarray(tables.FIXED_DISTANCE_LENGTHS)
-            dcodes_j = jnp.asarray(
-                tables.FIXED_DISTANCE_CODES.astype(np.int64)).astype(_U)
-        else:
-            lens_j = jnp.asarray(ll_lens)
-            codes_j = jnp.asarray(ll_codes.astype(np.int64)).astype(_U)
-            dlens_j = jnp.asarray(dist_lens)
-            dcodes_j = jnp.asarray(dist_codes.astype(np.int64)).astype(_U)
-
-        words, total_bits = pack_tokens(tok, lens_j, codes_j, dlens_j,
-                                        dcodes_j)
-        words_np = np.asarray(words).astype("<u4")
-        total_bits = int(total_bits)
-
-        bw = _HostBitWriter()
-        bw.add(1 if final else 0, 1)
-        bw.add(1 if use_fixed else 2, 2)
-        out.append_host_writer(bw)
-        if not use_fixed:
-            hdr = np.frombuffer(header + b"\x00", dtype=np.uint8)
-            out.append_bits(hdr, header_bits)
-        out.append_bits(words_np.view(np.uint8), total_bits)
+        for j in range(gsize):
+            b = bi + j
+            blen = int(lens_np[j])
+            final = b == nblocks - 1
+            mode = modes[j]
+            if mode == "stored":
+                off = 0
+                while off < blen:
+                    chunk = min(blen - off, 0xFFFF)
+                    last = off + chunk == blen
+                    bw = _HostBitWriter()
+                    bw.add(1 if (final and last) else 0, 1)
+                    bw.add(0, 2)
+                    # LEN must start on a GLOBAL byte boundary.
+                    pad = (-(out.bitpos + 3)) % 8
+                    if pad:
+                        bw.add(0, pad)
+                    bw.add(chunk, 16)
+                    bw.add(chunk ^ 0xFFFF, 16)
+                    out.append_host_writer(bw)
+                    out.append_bits(
+                        padded[b * BLOCK + off : b * BLOCK + off + chunk],
+                        chunk * 8,
+                    )
+                    off += chunk
+                continue
+            bw = _HostBitWriter()
+            bw.add(1 if final else 0, 1)
+            bw.add(1 if mode == "fixed" else 2, 2)
+            out.append_host_writer(bw)
+            if mode == "dynamic":
+                header, header_bits = headers[j]
+                hdr = np.frombuffer(header + b"\x00", dtype=np.uint8)
+                out.append_bits(hdr, header_bits)
+            out.append_bits(words_np[j].view(np.uint8), int(bits_np[j]))
+        bi += gsize
 
     # Final byte padding is implicit (append buffer is byte-granular).
     return bytes(out.out)
