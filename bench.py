@@ -61,7 +61,7 @@ COMPRESS_DEFAULT = {
 }
 
 
-def _min_time(fn, *args, repeats: int = 50, min_total_s: float = 0.8) -> float:
+def _min_time(fn, *args, repeats: int = 120, min_total_s: float = 1.0) -> float:
     """Min wall time of fn(*args) in ms (benchy-style min-of-N)."""
     fn(*args)  # warmup (JIT compile / native build)
     times = []
@@ -70,7 +70,7 @@ def _min_time(fn, *args, repeats: int = 50, min_total_s: float = 0.8) -> float:
         t0 = time.perf_counter()
         fn(*args)
         times.append(time.perf_counter() - t0)
-        if time.perf_counter() - t_start > min_total_s and len(times) >= 7:
+        if time.perf_counter() - t_start > min_total_s and len(times) >= 15:
             break
     return min(times) * 1e3
 
