@@ -83,3 +83,28 @@ def test_deflate_bound_covers_huffman_only():
     data = os.urandom(1 << 20)
     blob = native.deflate(data, -2)
     assert zlib.decompress(blob, wbits=-15) == data
+
+
+def test_indexed_gzip_parallel_roundtrip():
+    from zippy_tpu import gzip_format
+
+    data = (open("/root/reference/tests/data/urls.10K", "rb").read() * 3)
+    blob = gzip_format.compress_indexed(data, 6, member_size=256 * 1024)
+    # Standards-compatible: CPython decodes the multi-member stream.
+    assert gzip.decompress(blob) == data
+    # Our parallel decode splits members by the ZT index.
+    assert gzip_format.uncompress_parallel(blob) == data
+    # Sequential path agrees.
+    assert gzip_format.uncompress_gzip(blob) == data
+
+
+def test_indexed_gzip_single_member_and_fallback():
+    from zippy_tpu import gzip_format
+
+    data = b"small indexed payload " * 100
+    blob = gzip_format.compress_indexed(data, 1)
+    assert gzip.decompress(blob) == data
+    assert gzip_format.uncompress_parallel(blob) == data
+    # Non-indexed stream falls back to the sequential decoder.
+    plain = gzip.compress(data)
+    assert gzip_format.uncompress_parallel(plain) == data

@@ -14,6 +14,7 @@ _os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 _os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 from .api import compress, uncompress
+from .gzip_format import compress_indexed, uncompress_parallel
 from .tarballs import extract_all as extract_all_tarball
 from .tarballs_v1 import Tarball, TarballEntry, create_tarball
 from .ziparchives import (
@@ -42,6 +43,8 @@ __version__ = "0.1.0"
 __all__ = [
     "compress",
     "uncompress",
+    "compress_indexed",
+    "uncompress_parallel",
     "ZipArchiveReader",
     "open_zip_archive",
     "create_zip_archive",

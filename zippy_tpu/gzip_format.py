@@ -139,6 +139,86 @@ def read_member(src: bytes, pos: int = 0, trust_size: bool = False) -> tuple[byt
     return payload, tpos + 8
 
 
+ZT_SUBFIELD_ID = b"ZT"
+_INDEXED_MEMBER_SIZE = 4 * 1024 * 1024
+
+
+def compress_indexed(
+    src: bytes,
+    level: int,
+    *,
+    member_size: int = _INDEXED_MEMBER_SIZE,
+) -> bytes:
+    """Multi-member gzip with a 'ZT' FEXTRA subfield carrying each member's
+    total byte length — the decode-side parallelism seam SURVEY §5 calls for
+    (serial bit parsing otherwise hides block boundaries). The output is a
+    standard gzip stream: CPython and any RFC 1952 reader decode it; our
+    uncompress_parallel splits members by the index and decodes them
+    concurrently. Same design as bgzip's BC subfield.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    members_src = [src[i : i + member_size]
+                   for i in range(0, max(len(src), 1), member_size)]
+
+    def one(part: bytes) -> bytes:
+        # Two-pass: measure the member, then rewrite the length subfield.
+        placeholder = struct.pack("<2sHI", ZT_SUBFIELD_ID, 4, 0)
+        blob = write_member(part, level, random_name_padding=False,
+                            extra=placeholder)
+        extra = struct.pack("<2sHI", ZT_SUBFIELD_ID, 4, len(blob))
+        return blob[:12] + extra + blob[12 + len(extra):]
+
+    if len(members_src) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            return b"".join(ex.map(one, members_src))
+    return one(members_src[0])
+
+
+def _indexed_member_length(src: bytes, pos: int) -> int | None:
+    """Member length from the ZT subfield, or None if absent."""
+    if len(src) - pos < 18 or src[pos : pos + 2] != GZIP_MAGIC:
+        return None
+    if not (src[pos + 3] & FEXTRA):
+        return None
+    xlen = struct.unpack_from("<H", src, pos + 10)[0]
+    p, end = pos + 12, pos + 12 + xlen
+    while p + 4 <= end:
+        sid = src[p : p + 2]
+        slen = struct.unpack_from("<H", src, p + 2)[0]
+        p += 4
+        if sid == ZT_SUBFIELD_ID and slen == 4 and p + 4 <= end:
+            return struct.unpack_from("<I", src, p)[0]
+        p += slen
+    return None
+
+
+def uncompress_parallel(src: bytes) -> bytes:
+    """Decode a gzip stream; members listed in the ZT index decode on a
+    thread pool (the native decoder releases the GIL). Falls back to the
+    sequential path when the stream carries no index."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spans = []
+    pos = 0
+    while pos < len(src):
+        mlen = _indexed_member_length(src, pos)
+        if mlen is None or mlen < 18 or pos + mlen > len(src):
+            return uncompress_gzip(src)
+        spans.append((pos, mlen))
+        pos += mlen
+        if src[pos:].strip(b"\x00") == b"":
+            break
+    if len(spans) <= 1:
+        return uncompress_gzip(src)
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        parts = list(ex.map(
+            lambda s: native_mod.gzip_uncompress(src[s[0] : s[0] + s[1]])[0],
+            spans,
+        ))
+    return b"".join(parts)
+
+
 def uncompress_gzip(src: bytes, trust_size: bool = False) -> bytes:
     """Decode a gzip stream; concatenates all members (CPython semantics).
 
