@@ -758,6 +758,68 @@ struct BitWriter {
 // histogram-rebalance loop instead).
 // ---------------------------------------------------------------------------
 
+// Plain Huffman code lengths via an array heap; returns the max depth.
+// When the unconstrained optimum fits the length limit (the common case),
+// it IS the length-limited optimum, and this path is ~5x faster than
+// package-merge.
+int huffman_lengths_unlimited(const uint32_t* freq, const int* active, int na,
+                              uint8_t* lens) {
+  struct HNode {
+    uint64_t w;  // (weight << 10) | creation order: deterministic ties
+    int32_t id;
+  };
+  thread_local std::vector<HNode> heap;
+  thread_local std::vector<int32_t> parent;
+  heap.clear();
+  parent.assign(2 * na - 1, -1);
+  auto heap_push = [&](HNode v) {
+    heap.push_back(v);
+    size_t i = heap.size() - 1;
+    while (i && heap[(i - 1) / 2].w > heap[i].w) {
+      std::swap(heap[i], heap[(i - 1) / 2]);
+      i = (i - 1) / 2;
+    }
+  };
+  auto heap_pop = [&]() {
+    HNode top = heap[0];
+    heap[0] = heap.back();
+    heap.pop_back();
+    size_t i = 0, sz = heap.size();
+    for (;;) {
+      size_t l = 2 * i + 1, r = l + 1, m = i;
+      if (l < sz && heap[l].w < heap[m].w) m = l;
+      if (r < sz && heap[r].w < heap[m].w) m = r;
+      if (m == i) break;
+      std::swap(heap[i], heap[m]);
+      i = m;
+    }
+    return top;
+  };
+  for (int i = 0; i < na; i++)
+    heap_push({((uint64_t)freq[active[i]] << 10) | (uint32_t)i, i});
+  int next_id = na;
+  while (heap.size() > 1) {
+    HNode a = heap_pop();
+    HNode b = heap_pop();
+    parent[a.id] = next_id;
+    parent[b.id] = next_id;
+    heap_push({(((a.w >> 10) + (b.w >> 10)) << 10) | (uint32_t)next_id, next_id});
+    next_id++;
+  }
+  // Depths: children are always created before parents; walk top-down.
+  thread_local std::vector<uint8_t> depth;
+  depth.assign(2 * na - 1, 0);
+  int max_depth = 0;
+  for (int i = 2 * na - 3; i >= 0; i--) {
+    depth[i] = depth[parent[i]] + 1;
+    if (i < na) {
+      lens[active[i]] = depth[i];
+      if (depth[i] > max_depth) max_depth = depth[i];
+    }
+  }
+  return max_depth;
+}
+
 void build_code_lengths(const uint32_t* freq, int n, int limit, uint8_t* lens) {
   memset(lens, 0, n);
   int active[288];
@@ -770,6 +832,9 @@ void build_code_lengths(const uint32_t* freq, int n, int limit, uint8_t* lens) {
     return;
   }
 
+  if (huffman_lengths_unlimited(freq, active, na, lens) <= limit) return;
+  memset(lens, 0, n);  // overflow: fall through to exact package-merge
+
   // Items are int32 handles: negative = leaf (~sym), non-negative = index
   // into the package arena. Weights ride alongside in (w, item) pairs.
   // This keeps the package-merge inner loop allocation-free (the naive
@@ -777,15 +842,19 @@ void build_code_lengths(const uint32_t* freq, int n, int limit, uint8_t* lens) {
   struct Node {
     int32_t left, right;
   };
-  std::vector<Node> arena;
-  arena.reserve((size_t)na * limit / 2);
   using WItem = std::pair<uint64_t, int32_t>;
-  std::vector<WItem> leaves(na);
+  // Thread-local scratch: this runs per block on the hot path; repeated
+  // vector construction dominated the builder's cost for small inputs.
+  thread_local std::vector<Node> arena;
+  thread_local std::vector<WItem> leaves, merged, packages, next;
+  arena.clear();
+  arena.reserve((size_t)na * limit / 2);
+  leaves.resize(na);
   for (int i = 0; i < na; i++)
     leaves[i] = {freq[active[i]], ~active[i]};
   std::sort(leaves.begin(), leaves.end());  // (w, item) pair order: determinism
 
-  std::vector<WItem> merged = leaves, packages, next;
+  merged = leaves;
   for (int level = 1; level < limit; level++) {
     packages.clear();
     for (size_t i = 0; i + 1 < merged.size(); i += 2) {
@@ -805,6 +874,8 @@ void build_code_lengths(const uint32_t* freq, int n, int limit, uint8_t* lens) {
     }
     merged.swap(next);
   }
+  packages.clear();
+  next.clear();
   // Select the 2(n_active - 1) smallest items; each appearance of a symbol
   // bumps its code length by one. Package trees are at most `limit` deep.
   size_t take = 2 * ((size_t)na - 1);
@@ -990,8 +1061,9 @@ inline void flush_literal_run(TokenStream& ts, const uint8_t* src,
 // encodeFragment :12, skip heuristic :90). No chains, no lazy evaluation.
 void tokenize_fast(const uint8_t* src, size_t start, size_t end,
                    TokenStream& ts, size_t hist_from) {
-  const int kFastBits = 14;
-  std::vector<int32_t> table((size_t)1 << kFastBits, -1);
+  const int kFastBits = 13;
+  thread_local std::vector<int32_t> table;
+  table.assign((size_t)1 << kFastBits, -1);
   auto fhash = [](uint32_t v) { return (v * 0x9E3779B1u) >> (32 - kFastBits); };
   // Seed history (sparsely — every 2nd position is enough for BestSpeed).
   for (size_t i = hist_from; i + kMinMatch <= start; i += 2)
