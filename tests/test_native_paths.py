@@ -108,3 +108,18 @@ def test_indexed_gzip_single_member_and_fallback():
     # Non-indexed stream falls back to the sequential decoder.
     plain = gzip.compress(data)
     assert gzip_format.uncompress_parallel(plain) == data
+
+
+def test_mt_multipart_stored_alignment():
+    # Regression: a part containing stored blocks is byte-aligned relative
+    # to its own start; without a sync-flush at the end of each non-final
+    # part, a preceding Huffman part ending mid-byte corrupted the stream.
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    text = (b"compressible text payload " * 300000)[: 5 << 20]
+    noise = rng.integers(0, 256, 5 << 20).astype(np.uint8).tobytes()
+    for data in (text + noise, noise + text):
+        for lvl in (1, 6):
+            blob = native.deflate(data, lvl)
+            assert zlib.decompress(blob, wbits=-15) == data

@@ -1431,11 +1431,15 @@ void emit_dynamic_header(BitWriter& bw, const DynPlan& p) {
 }
 
 // Encodes src[enc_start, src_len); bytes before enc_start are window
-// history only (for parallel parts and cross-block matches).
+// history only (for parallel parts and cross-block matches). `sync_end`
+// appends an empty non-final stored block and pads to a byte boundary
+// (pigz-style sync flush) — required for every NON-FINAL parallel part:
+// stored blocks inside a part are byte-aligned relative to the part start,
+// so every part must begin on a byte boundary of the global stream.
 int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
                      uint8_t* dst, size_t dst_cap,
                      bool mark_final = true, bool pad_to_byte = true,
-                     size_t enc_start = 0) {
+                     size_t enc_start = 0, bool sync_end = false) {
   if (level < -2 || level > 9) return ZT_ERR_MALFORMED;
   BitWriter bw(dst, dst_cap);
 
@@ -1529,6 +1533,13 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
       emit_tokens(bw, src, start, ts, dyn);
     }
     if (bw.full) return ZT_ERR_DST_FULL;
+  }
+  if (sync_end) {
+    // Empty non-final stored block: BFINAL=0, BTYPE=00, pad, LEN=0, NLEN.
+    bw.add(0, 3);
+    bw.align_byte();
+    bw.add(0, 16);
+    bw.add(0xFFFF, 16);
   }
   size_t out = pad_to_byte ? bw.finish() : bw.finish_bits();
   return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
@@ -1735,15 +1746,19 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
   }
 
   for (size_t t = 0; t < nparts; t++)
-    bufs[t].resize(deflate_bound(std::min(part, src_len - t * part)));
+    bufs[t].resize(deflate_bound(std::min(part, src_len - t * part)) + 8);
   pool.parallel_for(nparts, [&](size_t t) {
     size_t start = t * part;
     size_t end = std::min(start + part, src_len);
     // All parts return exact bit counts; only BFINAL marking differs.
     // The whole buffer is shared read-only: each part sees the previous
     // 32 KiB as match history, so the split costs almost no ratio.
+    // Non-final parts sync-flush so every part starts byte-aligned
+    // (stored blocks inside a part depend on it).
+    bool final_part = t == nparts - 1;
     nbits[t] = deflate_impl(src, end, level, bufs[t].data(),
-                            bufs[t].size(), t == nparts - 1, false, start);
+                            bufs[t].size(), final_part, false, start,
+                            /*sync_end=*/!final_part);
   });
 
   BitWriter bw(dst, dst_cap);
