@@ -1061,7 +1061,7 @@ inline void flush_literal_run(TokenStream& ts, const uint8_t* src,
 // encodeFragment :12, skip heuristic :90). No chains, no lazy evaluation.
 void tokenize_fast(const uint8_t* src, size_t start, size_t end,
                    TokenStream& ts, size_t hist_from) {
-  const int kFastBits = 13;
+  const int kFastBits = 14;
   thread_local std::vector<int32_t> table;
   table.assign((size_t)1 << kFastBits, -1);
   auto fhash = [](uint32_t v) { return (v * 0x9E3779B1u) >> (32 - kFastBits); };
@@ -1718,6 +1718,71 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
       emit_stored(bw, src, 0, src_len, true);
       size_t out = bw.finish();
       return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+    }
+
+    // Per-part split alternative: mixed content (e.g. text + embedded
+    // binary) costs real bits under one shared code table. Plan each part
+    // with its OWN table (plus stored/fixed options) and take the split
+    // when it beats the shared single block; non-final parts sync-flush so
+    // stored parts stay byte-aligned.
+    {
+      if (!fix.litlen_lens[0]) fixed_codeset(fix);
+      // Plain local (NOT thread_local): worker lambdas must see the same
+      // instance the planning loop filled on this thread.
+      std::vector<DynPlan> pplans(nparts);
+      std::vector<int> pmode(nparts);          // 0 stored, 1 fixed, 2 dyn
+      uint64_t split_bits = 40ull * (nparts - 1);  // sync flushes
+      for (size_t t = 0; t < nparts; t++) {
+        tss[t].lit_freq[256]++;  // per-part blocks carry their own EOB
+        size_t blen = std::min(part, src_len - t * part);
+        plan_dynamic(tss[t].lit_freq, tss[t].dist_freq, pplans[t]);
+        uint64_t pd = 3 + pplans[t].header_bits +
+                      huffman_cost_bits(tss[t], pplans[t].dyn.litlen_lens,
+                                        pplans[t].dyn.dist_lens);
+        uint64_t pfc =
+            huffman_cost_bits(tss[t], fix.litlen_lens, fix.dist_lens);
+        uint64_t pf = pfc == UINT64_MAX ? UINT64_MAX : 3 + pfc;
+        uint64_t ps = ((blen + kMaxStored - 1) / kMaxStored) * 5ull * 8 +
+                      blen * 8ull + 10;
+        uint64_t best = std::min(ps, std::min(pf, pd));
+        pmode[t] = best == ps ? 0 : (best == pf ? 1 : 2);
+        split_bits += best;
+      }
+      uint64_t shared_bits = std::min(dyn_bits, fix_bits);
+      if (split_bits < shared_bits) {
+        for (size_t t = 0; t < nparts; t++)
+          bufs[t].resize(2 * std::min(part, src_len - t * part) + 512);
+        pool.parallel_for(nparts, [&](size_t t) {
+          size_t start = t * part;
+          size_t blen = std::min(part, src_len - start);
+          bool final_part = t == nparts - 1;
+          BitWriter pbw(bufs[t].data(), bufs[t].size());
+          if (pmode[t] == 0) {
+            emit_stored(pbw, src, start, blen, final_part);
+          } else {
+            pbw.add(final_part ? 1 : 0, 1);
+            pbw.add(pmode[t] == 1 ? 1 : 2, 2);
+            if (pmode[t] == 2) emit_dynamic_header(pbw, pplans[t]);
+            const CodeSet& pcs = pmode[t] == 1 ? fix : pplans[t].dyn;
+            emit_tokens(pbw, src, start, tss[t], pcs, /*emit_eob=*/true);
+          }
+          if (!final_part) {
+            pbw.add(0, 3);  // sync flush: empty non-final stored block
+            pbw.align_byte();
+            pbw.add(0, 16);
+            pbw.add(0xFFFF, 16);
+          }
+          nbits[t] = pbw.full ? ZT_ERR_DST_FULL : (int64_t)pbw.finish_bits();
+        });
+        for (size_t t = 0; t < nparts; t++) {
+          if (nbits[t] < 0) return nbits[t];
+          bw.append_stream(bufs[t].data(), (size_t)nbits[t]);
+        }
+        size_t out = bw.finish();
+        return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+      }
+      for (size_t t = 0; t < nparts; t++)
+        tss[t].lit_freq[256]--;  // back to the shared-block accounting
     }
 
     const CodeSet& cs = fix_bits <= dyn_bits ? fix : plan.dyn;
