@@ -89,9 +89,12 @@ def main() -> None:
     rows = []  # (op, name, ours_ms, zlib_local_ms, zippy_pub, zlib_pub)
 
     for name, (zippy_pub, zlib_pub) in UNCOMPRESS.items():
+        # Decode the same checked-in fixture .gz the published table decodes
+        # (default-level streams; reference README.md:38-47).
+        gz = (DATA / (name.replace(".gold", "") + ".gz")).read_bytes()
         raw = (DATA / name).read_bytes()
-        gz = zippy_tpu.compress(raw, 1, zippy_tpu.dfGzip)
-        d = _zlib_deflate(raw, 1)
+        assert zippy_tpu.uncompress(gz) == raw
+        d = _zlib_deflate(raw, 6)
         rows.append(("uncompress", name,
                      _min_time(zippy_tpu.uncompress, gz),
                      _min_time(_zlib_inflate, d), zippy_pub, zlib_pub))

@@ -95,3 +95,16 @@ def test_sharded_gzip_member():
     data = _mixed_payload(4 * 2048)
     blob = parallel.compress_gzip_sharded(data, 1, parallel.default_mesh())
     assert gzip.decompress(blob) == data
+
+
+def test_public_api_device_engine():
+    import zlib
+
+    import zippy_tpu
+
+    data = _mixed_payload(3 * SMALL)
+    blob = zippy_tpu.compress(data, 6, zippy_tpu.dfDeflate,
+                              engine_name="device")
+    assert zlib.decompress(blob, wbits=-15) == data
+    z = zippy_tpu.compress(data, 6, zippy_tpu.dfZlib, engine_name="device")
+    assert zlib.decompress(z) == data

@@ -47,7 +47,9 @@ def _read_archive(tar_path: str | os.PathLike) -> bytes:
     if len(data) < 2:
         raise ZippyError("Invalid compressed data")
     if data[0] == 31 and data[1] == 139:
-        return gzip_format.uncompress_gzip(data, trust_size=True)
+        # Member-parallel when the stream carries a ZT index; sequential
+        # (ISIZE-preallocating) otherwise.
+        return gzip_format.uncompress_parallel(data)
     return data
 
 
