@@ -1062,20 +1062,24 @@ inline void flush_literal_run(TokenStream& ts, const uint8_t* src,
 void tokenize_fast(const uint8_t* src, size_t start, size_t end,
                    TokenStream& ts, size_t hist_from) {
   const int kFastBits = 14;
-  thread_local std::vector<int32_t> table;
-  table.assign((size_t)1 << kFastBits, -1);
+  // 16-bit RELATIVE positions keep the table at 32 KB (L1-resident; the
+  // int32 version thrashed L1d). A stale entry reconstructs to a wrong
+  // nearby position, which the read32 content check rejects — correctness
+  // never depends on the table.
+  thread_local std::vector<uint16_t> table;
+  table.assign((size_t)1 << kFastBits, 0);
   auto fhash = [](uint32_t v) { return (v * 0x9E3779B1u) >> (32 - kFastBits); };
   // Seed history (sparsely — every 2nd position is enough for BestSpeed).
   for (size_t i = hist_from; i + kMinMatch <= start; i += 2)
-    table[fhash(read32(src + i))] = (int32_t)i;
+    table[fhash(read32(src + i))] = (uint16_t)i;
   size_t pos = start, lit_start = start;
   uint32_t skip = 32;
   while (pos + kMinMatch <= end) {
     uint32_t v = read32(src + pos);
     uint32_t h = fhash(v);
-    int32_t cand = table[h];
-    table[h] = (int32_t)pos;
-    if (cand >= 0 && pos - (size_t)cand <= kWindow &&
+    size_t cand = pos - (uint16_t)((pos - table[h]) & 0xFFFF);
+    table[h] = (uint16_t)pos;
+    if (cand < pos && pos - cand <= kWindow &&
         read32(src + cand) == v) {
       int max_len = (int)std::min<size_t>(kMaxMatch, end - pos);
       int len = match_len(src + pos, src + cand, max_len);
@@ -1084,9 +1088,9 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
       size_t e = pos + (size_t)len;
       // Seed the table near the match end so back-to-back matches chain.
       if (e >= 2 && e - 2 + 4 <= end)
-        table[fhash(read32(src + e - 2))] = (int32_t)(e - 2);
+        table[fhash(read32(src + e - 2))] = (uint16_t)(e - 2);
       if (e - 1 + 4 <= end)
-        table[fhash(read32(src + e - 1))] = (int32_t)(e - 1);
+        table[fhash(read32(src + e - 1))] = (uint16_t)(e - 1);
       pos = e;
       lit_start = pos;
       skip = 32;
