@@ -64,3 +64,26 @@ def test_ratio_vs_reference_fixture(corpus_dir):
         fixture = (corpus_dir / (name + ".gz")).stat().st_size
         ours = len(zippy_tpu.compress(data, 9, dfGzip))
         assert ours <= fixture, (name, ours, fixture)
+
+
+def test_ratio_vs_all_fixtures(corpus_dir):
+    """Default-level output must stay within 1% + 16B of EVERY zippy fixture
+    (the per-level size target, BASELINE.md). FNAME padding disabled so the
+    randomized anti-oracle bytes don't blur the comparison."""
+    import glob
+    import os
+
+    from zippy_tpu import gzip_format
+
+    for gz in sorted(glob.glob(str(corpus_dir / "*.gz"))):
+        if "known_bad" in gz:
+            continue
+        gold = gz[:-3] if os.path.exists(gz[:-3]) else gz[:-3] + ".gold"
+        if not os.path.exists(gold):
+            continue
+        raw = open(gold, "rb").read()
+        fixture = os.path.getsize(gz)
+        ours = len(gzip_format.write_member(raw, -1,
+                                            random_name_padding=False))
+        assert ours <= fixture * 1.01 + 16, (os.path.basename(gz), ours,
+                                             fixture)
