@@ -1571,6 +1571,9 @@ class WorkerPool {
   }
 
   // Run fn(0..n-1); fn(0) on the calling thread, the rest on workers.
+  // Completion uses a bounded spin before blocking: condvar round-trips
+  // cost tens of microseconds under virtualization, comparable to a whole
+  // sub-millisecond part.
   void parallel_for(size_t n, const std::function<void(size_t)>& fn) {
     if (n <= 1) {
       if (n == 1) fn(0);
@@ -1588,8 +1591,13 @@ class WorkerPool {
           }
         });
     }
+    pending_.store(true, std::memory_order_release);
     cv_.notify_all();
     fn(0);
+    for (int spin = 0; spin < 4000; spin++) {
+      if (remaining.load(std::memory_order_acquire) == 0) return;
+      __builtin_ia32_pause();
+    }
     std::unique_lock<std::mutex> lk(done_m_);
     done_cv_.wait(lk, [&] { return remaining.load() == 0; });
   }
@@ -1614,10 +1622,20 @@ class WorkerPool {
       std::function<void()> task;
       {
         std::unique_lock<std::mutex> lk(m_);
+        if (q_.empty() && !stop_) {
+          // Bounded spin for freshly-enqueued work before sleeping.
+          lk.unlock();
+          for (int spin = 0; spin < 4000; spin++) {
+            if (pending_.load(std::memory_order_acquire)) break;
+            __builtin_ia32_pause();
+          }
+          lk.lock();
+        }
         cv_.wait(lk, [&] { return stop_ || !q_.empty(); });
         if (stop_ && q_.empty()) return;
         task = std::move(q_.front());
         q_.pop_front();
+        pending_.store(!q_.empty(), std::memory_order_release);
       }
       task();
     }
@@ -1626,6 +1644,7 @@ class WorkerPool {
   std::condition_variable cv_, done_cv_;
   std::deque<std::function<void()>> q_;
   std::vector<std::thread> workers_;
+  std::atomic<bool> pending_{false};
   bool stop_ = false;
 };
 
@@ -1672,12 +1691,23 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     // encoder, so the split costs no ratio.
     int lvl = level == -1 ? 6 : level;
     std::vector<TokenStream> tss(nparts);
+    std::vector<DynPlan> pplans(nparts);
+    std::vector<uint64_t> part_dyn(nparts), part_fix(nparts);
+    CodeSet fix;
+    fixed_codeset(fix);
     pool.parallel_for(nparts, [&](size_t t) {
       size_t start = t * part;
       size_t end = std::min(start + part, src_len);
       size_t hist_from = start > (size_t)kWindow ? start - kWindow : 0;
       tokenize(src, start, end, lvl, tss[t], hist_from);
-      tss[t].lit_freq[256]--;  // merged stream has ONE end-of-block code
+      // Per-part plan (with the part's own EOB) for the split evaluation,
+      // computed here so planning parallelizes with tokenization.
+      plan_dynamic(tss[t].lit_freq, tss[t].dist_freq, pplans[t]);
+      part_dyn[t] = 3 + pplans[t].header_bits +
+                    huffman_cost_bits(tss[t], pplans[t].dyn.litlen_lens,
+                                      pplans[t].dyn.dist_lens);
+      uint64_t pfc = huffman_cost_bits(tss[t], fix.litlen_lens, fix.dist_lens);
+      part_fix[t] = pfc == UINT64_MAX ? UINT64_MAX : 3 + pfc;
     });
 
     TokenStream merged;  // histogram container only (tokens stay per-part)
@@ -1686,7 +1716,7 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
       for (int i = 0; i < 30; i++) merged.dist_freq[i] += tss[t].dist_freq[i];
       merged.n_literals += tss[t].n_literals;
     }
-    merged.lit_freq[256]++;
+    merged.lit_freq[256] = 1;  // the shared block carries ONE EOB
 
     BitWriter bw(dst, dst_cap);
     // Incompressible shortcut (same rule as deflate_impl).
@@ -1703,13 +1733,11 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
 
     DynPlan plan;
     uint64_t dyn_bits = UINT64_MAX, fix_bits = UINT64_MAX;
-    CodeSet fix;
     if (!use_stored) {
       plan_dynamic(merged.lit_freq, merged.dist_freq, plan);
       dyn_bits = 3 + plan.header_bits +
                  huffman_cost_bits(merged, plan.dyn.litlen_lens,
                                    plan.dyn.dist_lens);
-      fixed_codeset(fix);
       uint64_t fc = huffman_cost_bits(merged, fix.litlen_lens, fix.dist_lens);
       fix_bits = fc == UINT64_MAX ? UINT64_MAX : 3 + fc;
       uint64_t stored_bits =
@@ -1730,26 +1758,14 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     // when it beats the shared single block; non-final parts sync-flush so
     // stored parts stay byte-aligned.
     {
-      if (!fix.litlen_lens[0]) fixed_codeset(fix);
-      // Plain local (NOT thread_local): worker lambdas must see the same
-      // instance the planning loop filled on this thread.
-      std::vector<DynPlan> pplans(nparts);
       std::vector<int> pmode(nparts);          // 0 stored, 1 fixed, 2 dyn
       uint64_t split_bits = 40ull * (nparts - 1);  // sync flushes
       for (size_t t = 0; t < nparts; t++) {
-        tss[t].lit_freq[256]++;  // per-part blocks carry their own EOB
         size_t blen = std::min(part, src_len - t * part);
-        plan_dynamic(tss[t].lit_freq, tss[t].dist_freq, pplans[t]);
-        uint64_t pd = 3 + pplans[t].header_bits +
-                      huffman_cost_bits(tss[t], pplans[t].dyn.litlen_lens,
-                                        pplans[t].dyn.dist_lens);
-        uint64_t pfc =
-            huffman_cost_bits(tss[t], fix.litlen_lens, fix.dist_lens);
-        uint64_t pf = pfc == UINT64_MAX ? UINT64_MAX : 3 + pfc;
         uint64_t ps = ((blen + kMaxStored - 1) / kMaxStored) * 5ull * 8 +
                       blen * 8ull + 10;
-        uint64_t best = std::min(ps, std::min(pf, pd));
-        pmode[t] = best == ps ? 0 : (best == pf ? 1 : 2);
+        uint64_t best = std::min(ps, std::min(part_fix[t], part_dyn[t]));
+        pmode[t] = best == ps ? 0 : (best == part_fix[t] ? 1 : 2);
         split_bits += best;
       }
       uint64_t shared_bits = std::min(dyn_bits, fix_bits);
@@ -1785,8 +1801,6 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
         size_t out = bw.finish();
         return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
       }
-      for (size_t t = 0; t < nparts; t++)
-        tss[t].lit_freq[256]--;  // back to the shared-block accounting
     }
 
     const CodeSet& cs = fix_bits <= dyn_bits ? fix : plan.dyn;
