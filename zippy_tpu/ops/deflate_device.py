@@ -25,6 +25,14 @@ data-parallel vector work that XLA maps onto the TPU VPU:
 
 Histograms for dynamic Huffman come from segment sums; code construction
 (O(alphabet) = 286 symbols) runs on host between the two jitted phases.
+
+Why XLA ops rather than a hand-written Pallas kernel for the matcher: every
+stage here leans on data-dependent gathers (bucket predecessors after the
+sort, candidate window reads, LUT lookups), which XLA lowers to the TPU's
+native gather support; Mosaic has no arbitrary-gather primitive, so a
+Pallas formulation would have to emulate gathers with per-element dynamic
+slices. The Pallas surface is exercised where it fits (ops/pallas_checksums
+tile kernels); for these gather-bound stages "let XLA fuse" wins.
 """
 
 from __future__ import annotations
