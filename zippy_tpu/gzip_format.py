@@ -228,16 +228,19 @@ def uncompress_gzip(src: bytes, trust_size: bool = False) -> bytes:
     expansion cap (reference gzip.nim:72-77 semantics).
     """
     del trust_size  # always on in the native path
-    parts = []
-    pos = 0
+    payload, consumed = native_mod.gzip_uncompress(src, 0)
+    if consumed == len(src):  # single member, nothing trailing (the hot case)
+        return payload
+    parts = [payload]
+    pos = consumed
     while True:
-        payload, consumed = native_mod.gzip_uncompress(src[pos:])
-        parts.append(payload)
-        pos += consumed
         # Trailing zero padding is tolerated (some tar tools pad archives).
         rest = src[pos:]
         if not rest or rest.strip(b"\x00") == b"":
             break
         if len(rest) < 18 or rest[:2] != GZIP_MAGIC:
             raise ZippyError("Invalid gzip data (trailing garbage)")
+        payload, consumed = native_mod.gzip_uncompress(src, pos)
+        parts.append(payload)
+        pos += consumed
     return parts[0] if len(parts) == 1 else b"".join(parts)
