@@ -61,18 +61,47 @@ COMPRESS_DEFAULT = {
 }
 
 
-def _min_time(fn, *args, repeats: int = 120, min_total_s: float = 1.0) -> float:
-    """Min wall time of fn(*args) in ms (benchy-style min-of-N)."""
+def _read_steal() -> int:
+    """Aggregate CPU steal ticks (field 8 of /proc/stat's cpu line)."""
+    try:
+        with open("/proc/stat", "rb") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except OSError:  # pragma: no cover
+        return 0
+
+
+def _min_time(fn, *args, min_total_s: float = 1.0, max_total_s: float = 4.0,
+              clean_target: int = 12) -> float:
+    """Min wall time of fn(*args) in ms (benchy-style min-of-N).
+
+    Steal-aware budget: this host's hypervisor neighbor steals a core for
+    seconds at a time, which inflates wall-clock samples. Samples whose
+    window saw no steal-tick delta count as "clean"; sampling continues
+    until enough clean samples exist (or the hard cap), so quiet hosts
+    finish fast and stolen stretches just extend the search for the true
+    minimum rather than polluting it.
+    """
     fn(*args)  # warmup (JIT compile / native build)
-    times = []
+    best = float("inf")
+    n = clean = 0
     t_start = time.perf_counter()
-    for _ in range(repeats):
+    while True:
+        s0 = _read_steal()
         t0 = time.perf_counter()
         fn(*args)
-        times.append(time.perf_counter() - t0)
-        if time.perf_counter() - t_start > min_total_s and len(times) >= 15:
+        t1 = time.perf_counter()
+        dt = t1 - t0
+        if dt < best:
+            best = dt
+        n += 1
+        clean += _read_steal() == s0
+        elapsed = t1 - t_start
+        if n >= 20 and elapsed > min_total_s and clean >= clean_target:
             break
-    return min(times) * 1e3
+        if elapsed > max_total_s:
+            break
+    return best * 1e3
 
 
 def _zlib_deflate(raw: bytes, level: int) -> bytes:
@@ -88,6 +117,12 @@ def main() -> None:
     verbose = "--verbose" in sys.argv
     rows = []  # (op, name, ours_ms, zlib_local_ms, zippy_pub, zlib_pub)
 
+    # Work list: (op, name, ours_fn, zlib_fn, zippy_pub, zlib_pub). Each row
+    # is measured in TWO passes spread minutes apart and the per-row min
+    # taken across passes: this host's Firecracker neighbor steals a core
+    # for seconds at a time, so a single window can miss every quiet
+    # stretch; two separated windows make the min a stable estimate.
+    work = []
     for name, (zippy_pub, zlib_pub) in UNCOMPRESS.items():
         # Decode the same checked-in fixture .gz the published table decodes
         # (default-level streams; reference README.md:38-47).
@@ -95,9 +130,9 @@ def main() -> None:
         raw = (DATA / name).read_bytes()
         assert zippy_tpu.uncompress(gz) == raw
         d = _zlib_deflate(raw, 6)
-        rows.append(("uncompress", name,
-                     _min_time(zippy_tpu.uncompress, gz),
-                     _min_time(_zlib_inflate, d), zippy_pub, zlib_pub))
+        work.append(("uncompress", name,
+                     (zippy_tpu.uncompress, gz), (_zlib_inflate, d),
+                     zippy_pub, zlib_pub))
 
     for level, table, op in (
         (1, COMPRESS_L1, "compress L1"),
@@ -106,11 +141,20 @@ def main() -> None:
         zl = 6 if level == -1 else level
         for name, (zippy_pub, zlib_pub) in table.items():
             raw = (DATA / name).read_bytes()
-            rows.append((op, name,
-                         _min_time(zippy_tpu.compress, raw, level,
-                                   zippy_tpu.dfDeflate),
-                         _min_time(_zlib_deflate, raw, zl),
-                         zippy_pub, zlib_pub))
+            work.append((op, name,
+                         (zippy_tpu.compress, raw, level, zippy_tpu.dfDeflate),
+                         (_zlib_deflate, raw, zl), zippy_pub, zlib_pub))
+
+    mins: dict[int, tuple[float, float]] = {}
+    for _pass in range(2):
+        for i, (_, _, ours_call, zlib_call, _, _) in enumerate(work):
+            ours_ms = _min_time(*ours_call)
+            zlib_ms = _min_time(*zlib_call)
+            prev = mins.get(i, (float("inf"), float("inf")))
+            mins[i] = (min(prev[0], ours_ms), min(prev[1], zlib_ms))
+
+    rows = [(op, name, mins[i][0], mins[i][1], zp, zl)
+            for i, (op, name, _, _, zp, zl) in enumerate(work)]
 
     # One robust machine-speed factor for the whole table.
     scale = statistics.median(

@@ -543,11 +543,13 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
     }
 
     // Symbol loop. Fast path: one unconditional refill guarantees >= 56
-    // buffered bits — enough for 3 literal codes (45) or one literal plus a
-    // full match header (15+15+5 then a second refill for the distance), so
-    // the inner decodes skip per-symbol refill/overrun checks. Destination
-    // writes keep 266 bytes of slack so match copies go unchecked. The
-    // careful loop below handles the tail and tight buffers.
+    // buffered bits; literals then decode in a run while >= 15 bits remain
+    // buffered (enough for any code the 10-bit LUT resolves plus the next
+    // lookup), so typical text streams (5-9 bit literal codes) emit 6-10
+    // literals per refill. A match header consumes at most 15+5 bits before
+    // the distance, whose 15+13 worst case is covered by a conditional
+    // refill. Destination writes keep 266 bytes of slack so match copies go
+    // unchecked. The careful loop below handles the tail and tight buffers.
     const size_t src_bits = src_len * 8;
     bool eob = false;
     while (!eob && op + 300 <= dst_cap) {
@@ -556,21 +558,13 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       // Packed-LUT decode: one 32-bit entry carries literal byte or length
       // base + extra-bit count, so the common paths touch no other tables.
       uint32_t e = litlen->lut32[br.buf & kLutMask];
-      if (e & kPkLit) {
+      while (e & kPkLit) {
         dst[op++] = (uint8_t)(e >> 8);
         br.drop(e & 15);
+        if (br.cnt < 15) break;
         e = litlen->lut32[br.buf & kLutMask];
-        if (e & kPkLit) {
-          dst[op++] = (uint8_t)(e >> 8);
-          br.drop(e & 15);
-          e = litlen->lut32[br.buf & kLutMask];
-          if (e & kPkLit) {
-            dst[op++] = (uint8_t)(e >> 8);
-            br.drop(e & 15);
-            continue;
-          }
-        }
       }
+      if (e & kPkLit) continue;  // run ended on low bits; refill and resume
       uint32_t length;
       if (e & 15) {
         if (e & kPkEob) {
@@ -579,11 +573,12 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
           break;
         }
         if (e & kPkBad) return ZT_ERR_MALFORMED;
-        br.drop(e & 15);
+        // One fused drop for code + extra bits.
+        uint32_t cl = e & 15;
         uint32_t ebits = e >> 28;
         length = ((e >> 16) & 0x1FF)
-                 + (uint32_t)(br.buf & ((1u << ebits) - 1));
-        br.drop((int)ebits);
+                 + (uint32_t)((br.buf >> cl) & ((1u << ebits) - 1));
+        br.drop((int)(cl + ebits));
       } else {
         // Long code (> kLutBits): canonical slow path.
         int sym = litlen->decode(br);
@@ -599,15 +594,15 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
         uint32_t li = sym - 257;
         length = kBaseLengths[li] + br.bits(kLengthExtra[li]);
       }
-      br.refill();
+      if (br.cnt < 28) br.refill();  // dist code (<=15) + extra (<=13)
       uint32_t de = dist->lut32[br.buf & kLutMask];
       uint32_t distance;
       if (de & 15) {
         if (de & kPkBad) return ZT_ERR_MALFORMED;
-        br.drop(de & 15);
+        uint32_t dcl = de & 15;
         uint32_t dbits = (de >> 8) & 15;
-        distance = (de >> 16) + (uint32_t)(br.buf & ((1u << dbits) - 1));
-        br.drop((int)dbits);
+        distance = (de >> 16) + (uint32_t)((br.buf >> dcl) & ((1u << dbits) - 1));
+        br.drop((int)(dcl + dbits));
       } else {
         int dsym = dist->decode(br);
         if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
@@ -1074,6 +1069,8 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
     table[fhash(read32(src + i))] = (uint16_t)i;
   size_t pos = start, lit_start = start;
   uint32_t skip = 32;
+  uint32_t streak = 0;  // consecutive probes without a match
+  uint32_t gear = 1;    // skip growth per miss (8 on incompressible input)
   while (pos + kMinMatch <= end) {
     uint32_t v = read32(src + pos);
     uint32_t h = fhash(v);
@@ -1094,8 +1091,19 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
       pos = e;
       lit_start = pos;
       skip = 32;
+      streak = 0;
+      gear = 1;
     } else {
-      pos += skip++ >> 5;
+      // Snappy-style skip-ahead, with a second gear: once 256 probes pass
+      // with NO match found in the whole part (pure incompressible input,
+      // headed for the stored fallback anyway) the stride grows 8x faster,
+      // halving the probe count on random data. Mixed content that has
+      // matched even once never shifts gears, so ratios are untouched
+      // (reference snappy.nim:90 grows linearly forever). The exact-equal
+      // test keeps the engage check out of the steady-state path.
+      if (++streak == 256 && ts.n_tokens_match == 0) gear = 8;
+      skip += gear;
+      pos += skip >> 5;
     }
   }
   flush_literal_run(ts, src, lit_start, end);
