@@ -212,6 +212,44 @@ def zlib_compress(data: bytes, level: int) -> bytes:
     return arr[:rc].tobytes()
 
 
+def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
+    """One-time decode-index scan of a raw DEFLATE stream (the host half of
+    the device-parallel inflate; see ops/inflate_device.py). Returns numpy
+    arrays: segments [nseg,4] (bit_offset, out_offset, block_id, ntok),
+    stored [nsto,3] (src_byte, out_offset, len), block_lens [nblk,318]
+    (litlen 288 + dist 30 code lengths), total_out, end_bit."""
+    if _pyzt is None:  # pragma: no cover - ctypes fallback lacks the scanner
+        raise ZippyError("device decode index requires the native extension")
+    seg_cap = max(1024, 2 * len(data) // max(every, 1))
+    sto_cap, blk_cap = 256, 256
+    while True:
+        seg = bytearray(seg_cap * 32)
+        sto = bytearray(sto_cap * 24)
+        lens = bytearray(blk_cap * 318)
+        counts = bytearray(5 * 8)
+        rc = _pyzt.inflate_scan(data, start_bit, every, seg, sto, lens, counts)
+        c = np.frombuffer(counts, dtype=np.int64)
+        if rc == 0:
+            nseg, nsto, nblk = int(c[0]), int(c[1]), int(c[2])
+            return {
+                "segments": np.frombuffer(seg, dtype=np.int64)
+                            .reshape(-1, 4)[:nseg].copy(),
+                "stored": np.frombuffer(sto, dtype=np.int64)
+                          .reshape(-1, 3)[:nsto].copy(),
+                "block_lens": np.frombuffer(lens, dtype=np.uint8)
+                              .reshape(-1, 318)[:nblk].copy(),
+                "total_out": int(c[3]),
+                "end_bit": int(c[4]),
+                "every": every,
+            }
+        if rc == -2:  # caps exceeded; counts carry the exact sizes
+            seg_cap = max(int(c[0]), 1)
+            sto_cap = max(int(c[1]), 1)
+            blk_cap = max(int(c[2]), 1)
+            continue
+        raise ZippyError("Invalid compressed data")
+
+
 # ---------------------------------------------------------------------------
 # CPython extension bindings (preferred): ~200 ns call overhead vs ~3 us for
 # ctypes + numpy buffer churn. The definitions above remain the fallback if

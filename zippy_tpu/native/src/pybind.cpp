@@ -314,6 +314,59 @@ PyObject* py_zlib_compress(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   return out;
 }
 
+// inflate_scan(data, start_bit, every, seg_buf, sto_buf, lens_buf, counts_buf)
+//   -> rc (0 ok, -1 malformed, -2 caps exceeded — counts filled, retry sized).
+// Buffers are writable bytes-like (bytearray): seg int64[cap][4],
+// sto int64[cap][3], lens uint8[cap][318], counts int64[5]. The decode-index
+// scan for device-parallel inflate (ops/inflate_device.py).
+PyObject* py_inflate_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
+  if (nargs != 7)
+    return raise_err(
+        "inflate_scan(data, start_bit, every, seg, sto, lens, counts)");
+  SrcView src(args[0]);
+  if (!src.ok) return nullptr;
+  Py_ssize_t start_bit = 0;
+  if (!parse_size(args[1], &start_bit, "start_bit")) return nullptr;
+  long every = PyLong_AsLong(args[2]);
+  if (every == -1 && PyErr_Occurred()) return nullptr;
+  Py_buffer seg{}, sto{}, lens{}, counts{};
+  if (PyObject_GetBuffer(args[3], &seg, PyBUF_WRITABLE) != 0) return nullptr;
+  if (PyObject_GetBuffer(args[4], &sto, PyBUF_WRITABLE) != 0) {
+    PyBuffer_Release(&seg);
+    return nullptr;
+  }
+  if (PyObject_GetBuffer(args[5], &lens, PyBUF_WRITABLE) != 0) {
+    PyBuffer_Release(&seg);
+    PyBuffer_Release(&sto);
+    return nullptr;
+  }
+  if (PyObject_GetBuffer(args[6], &counts, PyBUF_WRITABLE) != 0) {
+    PyBuffer_Release(&seg);
+    PyBuffer_Release(&sto);
+    PyBuffer_Release(&lens);
+    return nullptr;
+  }
+  int64_t rc;
+  if ((size_t)counts.len < 5 * sizeof(int64_t)) {
+    rc = -1;
+    PyErr_SetString(PyExc_ValueError, "counts buffer too small");
+  } else {
+    Py_BEGIN_ALLOW_THREADS;
+    rc = zt_inflate_scan(
+        src.data(), src.len(), (size_t)start_bit, (uint32_t)every,
+        (int64_t*)seg.buf, (size_t)seg.len / (4 * sizeof(int64_t)),
+        (int64_t*)sto.buf, (size_t)sto.len / (3 * sizeof(int64_t)),
+        (uint8_t*)lens.buf, (size_t)lens.len / 318, (int64_t*)counts.buf);
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&seg);
+  PyBuffer_Release(&sto);
+  PyBuffer_Release(&lens);
+  PyBuffer_Release(&counts);
+  if (PyErr_Occurred()) return nullptr;
+  return PyLong_FromLongLong(rc);
+}
+
 // set_error_class(exc) — install ZippyError so failures raise the public type.
 PyObject* py_set_error_class(PyObject*, PyObject* arg) {
   Py_XDECREF(g_error_class);
@@ -334,6 +387,8 @@ PyMethodDef kMethods[] = {
     {"zlib_uncompress", (PyCFunction)(void*)py_zlib_uncompress, METH_FASTCALL,
      nullptr},
     {"zlib_compress", (PyCFunction)(void*)py_zlib_compress, METH_FASTCALL,
+     nullptr},
+    {"inflate_scan", (PyCFunction)(void*)py_inflate_scan, METH_FASTCALL,
      nullptr},
     {"set_error_class", (PyCFunction)py_set_error_class, METH_O, nullptr},
     {nullptr, nullptr, 0, nullptr},

@@ -1976,6 +1976,163 @@ int64_t zlib_compress_impl(const uint8_t* src, size_t src_len, int level,
   return (int64_t)(p + 4);
 }
 
+// ---------------------------------------------------------------------------
+// Decode-index scanner (for TPU device-parallel inflate)
+//
+// DEFLATE decode is bit-serial: a symbol's length is unknown until decoded
+// (reference inflate.nim:273-289), so device-parallel decode needs token
+// boundaries discovered ahead of time. This one-time host scan walks the
+// stream WITHOUT materializing output and records a checkpoint every
+// `every` tokens: (bit offset, output offset, block table id, token count).
+// The device kernel (zippy_tpu/ops/inflate_device.py) then decodes every
+// segment concurrently — the rapidgzip/"massively-parallel decompression"
+// index model (PAPERS.md) recast for TPU.
+//
+// Segment records: [nseg][4] int64 = {bit_offset, out_offset, block_id, ntok}
+// Stored spans:    [nsto][3] int64 = {src_byte_offset, out_offset, length}
+// Block tables:    [nblk][318] uint8 = litlen code lengths (288) + dist (30)
+//                  (288 so FIXED blocks reproduce canonical codes exactly:
+//                  symbols 286/287 shift the 9-bit code offsets)
+// counts[5] = {nseg, nsto, nblk, total_out, end_bit}; caps exceeded -> -2
+// with exact counts filled so the caller can retry sized.
+// ---------------------------------------------------------------------------
+
+int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
+                          uint32_t every, int64_t* seg, size_t seg_cap,
+                          int64_t* sto, size_t sto_cap, uint8_t* block_lens,
+                          size_t blk_cap, int64_t* counts) {
+  if (every == 0) return ZT_ERR_MALFORMED;
+  BitReader br(src, src_len, start_bit);
+  size_t op = 0;
+  size_t nseg = 0, nsto = 0, nblk = 0;
+  bool final_block = false;
+  HuffDecoder dyn_litlen, dyn_dist;
+
+  while (!final_block) {
+    if (br.overrun()) return ZT_ERR_MALFORMED;
+    final_block = br.bits(1) != 0;
+    uint32_t btype = br.bits(2);
+
+    if (btype == 0) {
+      br.align_byte();
+      uint32_t len = br.bits(16);
+      uint32_t nlen = br.bits(16);
+      if ((len ^ nlen) != 0xFFFF) return ZT_ERR_MALFORMED;
+      size_t cur = br.byte_pos - (size_t)(br.cnt >> 3);
+      if (cur + len > src_len) return ZT_ERR_MALFORMED;
+      if (nsto < sto_cap) {
+        sto[nsto * 3 + 0] = (int64_t)cur;
+        sto[nsto * 3 + 1] = (int64_t)op;
+        sto[nsto * 3 + 2] = (int64_t)len;
+      }
+      nsto++;
+      op += len;
+      br.byte_pos = cur + len;
+      br.buf = 0;
+      br.cnt = 0;
+      continue;
+    }
+    if (btype == 3) return ZT_ERR_MALFORMED;
+
+    const HuffDecoder* litlen = &kFixed.litlen;
+    const HuffDecoder* dist = &kFixed.dist;
+    uint8_t lens[288 + 30] = {0};
+    if (btype == 1) {
+      for (int i = 0; i < 144; i++) lens[i] = 8;
+      for (int i = 144; i < 256; i++) lens[i] = 9;
+      for (int i = 256; i < 280; i++) lens[i] = 7;
+      for (int i = 280; i < 288; i++) lens[i] = 8;
+      for (int i = 0; i < 30; i++) lens[288 + i] = 5;
+    } else {  // dynamic header (same parse as inflate_impl)
+      uint32_t hlit = br.bits(5) + 257;
+      uint32_t hdist = br.bits(5) + 1;
+      uint32_t hclen = br.bits(4) + 4;
+      if (hlit > 286 || hdist > 30) return ZT_ERR_MALFORMED;
+      uint8_t cl_lens[19] = {0};
+      for (uint32_t i = 0; i < hclen; i++)
+        cl_lens[kClclOrder[i]] = (uint8_t)br.bits(3);
+      HuffDecoder cl;
+      if (!cl.build(cl_lens, 19)) return ZT_ERR_MALFORMED;
+      uint8_t dlens[286 + 30] = {0};
+      uint32_t total = hlit + hdist;
+      uint32_t i = 0;
+      while (i < total) {
+        if (br.overrun()) return ZT_ERR_MALFORMED;
+        int sym = cl.decode(br);
+        if (sym < 0) return ZT_ERR_MALFORMED;
+        if (sym < 16) {
+          dlens[i++] = (uint8_t)sym;
+        } else if (sym == 16) {
+          if (i == 0) return ZT_ERR_MALFORMED;
+          uint32_t rep = 3 + br.bits(2);
+          if (i + rep > total) return ZT_ERR_MALFORMED;
+          uint8_t v = dlens[i - 1];
+          while (rep--) dlens[i++] = v;
+        } else if (sym == 17) {
+          uint32_t rep = 3 + br.bits(3);
+          if (i + rep > total) return ZT_ERR_MALFORMED;
+          i += rep;
+        } else {
+          uint32_t rep = 11 + br.bits(7);
+          if (i + rep > total) return ZT_ERR_MALFORMED;
+          i += rep;
+        }
+      }
+      if (dlens[256] == 0) return ZT_ERR_MALFORMED;
+      if (!dyn_litlen.build(dlens, (int)hlit)) return ZT_ERR_MALFORMED;
+      if (!dyn_dist.build(dlens + hlit, (int)hdist)) return ZT_ERR_MALFORMED;
+      litlen = &dyn_litlen;
+      dist = &dyn_dist;
+      memcpy(lens, dlens, hlit);
+      memcpy(lens + 288, dlens + hlit, hdist);
+    }
+    size_t block_id = nblk;
+    if (nblk < blk_cap) memcpy(block_lens + nblk * 318, lens, 318);
+    nblk++;
+
+    uint32_t tok_in_seg = every;  // force a checkpoint at the first token
+    for (;;) {
+      if (br.overrun()) return ZT_ERR_MALFORMED;
+      size_t tok_bit = br.consumed();
+      int sym = litlen->decode(br);
+      if (sym < 0 || sym > 285) return ZT_ERR_MALFORMED;
+      if (sym == 256) break;
+      if (tok_in_seg == every) {
+        if (nseg < seg_cap) {
+          seg[nseg * 4 + 0] = (int64_t)tok_bit;
+          seg[nseg * 4 + 1] = (int64_t)op;
+          seg[nseg * 4 + 2] = (int64_t)block_id;
+          seg[nseg * 4 + 3] = 0;
+        }
+        nseg++;
+        tok_in_seg = 0;
+      }
+      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 4 + 3]++;
+      tok_in_seg++;
+      if (sym < 256) {
+        op++;
+        continue;
+      }
+      uint32_t li = (uint32_t)sym - 257;
+      uint32_t length = kBaseLengths[li] + br.bits(kLengthExtra[li]);
+      int dsym = dist->decode(br);
+      if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
+      uint32_t distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
+      if (distance > op) return ZT_ERR_MALFORMED;
+      op += length;
+    }
+  }
+  if (br.overrun()) return ZT_ERR_MALFORMED;
+  counts[0] = (int64_t)nseg;
+  counts[1] = (int64_t)nsto;
+  counts[2] = (int64_t)nblk;
+  counts[3] = (int64_t)op;
+  counts[4] = (int64_t)br.consumed();
+  if (nseg > seg_cap || nsto > sto_cap || nblk > blk_cap)
+    return ZT_ERR_DST_FULL;
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1983,6 +2140,17 @@ int64_t zlib_compress_impl(const uint8_t* src, size_t src_len, int level,
 // ---------------------------------------------------------------------------
 
 extern "C" {
+
+// One-time decode-index scan for device-parallel inflate (see
+// inflate_scan_impl above). Returns 0, -1 malformed, or -2 caps exceeded
+// (counts[] filled either way when non-negative progress was made).
+int64_t zt_inflate_scan(const uint8_t* src, size_t src_len, size_t start_bit,
+                        uint32_t every, int64_t* seg, size_t seg_cap,
+                        int64_t* sto, size_t sto_cap, uint8_t* block_lens,
+                        size_t blk_cap, int64_t* counts) {
+  return inflate_scan_impl(src, src_len, start_bit, every, seg, seg_cap, sto,
+                           sto_cap, block_lens, blk_cap, counts);
+}
 
 uint32_t zt_crc32(const uint8_t* data, size_t len) { return crc32(data, len); }
 
