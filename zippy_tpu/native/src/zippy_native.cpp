@@ -612,18 +612,33 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       uint8_t* d = dst + op;
       const uint8_t* s = d - distance;
       op += length;
-      if (distance >= 8) {
-        // Overlap-safe 8-byte strided copy; slack absorbs the <=7 overrun.
+      if (distance >= 16) {
+        // Overlap-safe 16-byte strided copy; slack absorbs the <=15 overrun.
         size_t l = length;
         do {
-          memcpy(d, s, 8);
-          d += 8;
-          s += 8;
-        } while (l > 8 && (l -= 8));
+          memcpy(d, s, 16);
+          d += 16;
+          s += 16;
+        } while (l > 16 && (l -= 16));
       } else if (distance == 1) {
         memset(d, s[0], length);
       } else {
-        for (uint32_t k = 0; k < length; k++) d[k] = s[k];
+        // Short distances: double the materialized pattern until 16-byte
+        // strides are overlap-safe (libdeflate-style), then copy wide.
+        size_t l = length;
+        while (distance < 16 && l > distance) {
+          for (uint32_t k2 = 0; k2 < distance; k2++) d[k2] = s[k2];
+          d += distance;
+          l -= distance;
+          distance *= 2;
+        }
+        while (l > 16) {
+          memcpy(d, s, 16);
+          d += 16;
+          s += 16;
+          l -= 16;
+        }
+        for (uint32_t k2 = 0; k2 < (uint32_t)l; k2++) d[k2] = s[k2];
       }
     }
 
