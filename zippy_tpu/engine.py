@@ -48,12 +48,21 @@ def inflate(
     data: bytes,
     start_bit: int = 0,
     size_hint: int | None = None,
+    engine: str = "auto",
 ) -> tuple[bytes, int]:
     """Raw DEFLATE decode. Returns (payload, end_bit).
 
-    Single-stream inflate is bit-serial; it always runs on the native engine.
-    Block-parallel decode of indexed streams lives in zippy_tpu.parallel.
+    "auto" runs the native engine: single-stream inflate is bit-serial and
+    the host decoder wins on host-resident buffers. engine="device" runs the
+    index-based device-parallel decode (ops/inflate_device.py: one-time host
+    boundary scan, then concurrent segment decode + pointer-doubling LZ) —
+    for device-resident serving and repeated decodes of an indexed stream.
     """
+    if engine == "device":
+        from .ops import inflate_device
+
+        index = inflate_device.build_decode_index(data, start_bit)
+        return inflate_device.inflate_device(data, index), index["end_bit"]
     return native.inflate(data, start_bit, size_hint=size_hint)
 
 
