@@ -90,6 +90,70 @@ def test_multiblock_stream():
     assert idev.inflate_device(blob, index) == data
 
 
+def test_scan_fuzz_never_crashes():
+    """Bit-flip + truncation fuzz on the native scanner: raise ZippyError or
+    succeed, never crash (the reference's fuzz contract, fuzz.nim:16-33,
+    extended to the index path)."""
+    import random
+
+    random.seed(11)
+    data = _fixture("rfctest3.gold")
+    blob = bytearray(native.deflate(data, 6))
+    for i in range(400):
+        b = bytearray(blob)
+        if i % 2 == 0:
+            pos = random.randrange(len(b))
+            b[pos] ^= 1 << random.randrange(8)
+        else:
+            b = b[:random.randrange(len(b))]
+        try:
+            native.inflate_scan(bytes(b), 0, 64)
+        except ZippyError:
+            pass
+
+
+def test_device_decode_corrupt_index_no_crash():
+    """A scan that survives corruption may yield a wrong-but-shaped index;
+    device decode must produce bytes (garbage is fine — the container crc
+    gates correctness) without crashing."""
+    import random
+
+    random.seed(13)
+    data = _fixture("randtest3.gold")
+    blob = bytearray(native.deflate(data, 6))
+    done = 0
+    for _ in range(60):
+        b = bytearray(blob)
+        b[random.randrange(16, len(b))] ^= 1 << random.randrange(8)
+        try:
+            idx = idev.build_decode_index(bytes(b))
+        except ZippyError:
+            continue
+        if idx["total_out"] > 4 * len(data):
+            continue  # don't allocate for absurd corrupt claims in tests
+        out = idev.inflate_device(bytes(b), idx)
+        assert isinstance(out, bytes)
+        done += 1
+    assert done > 0
+
+
+def test_sharded_decode_byte_identity():
+    """N-device sharded decode must be byte-identical to 1-device (the
+    multi-chip gate, SURVEY §4 item f)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    raw = _fixture("urls.10K")
+    blob = zlib.compress(raw, 6)[2:-4]
+    index = idev.build_decode_index(blob)
+    one = idev.inflate_device(blob, index)
+    mesh = Mesh(np.array(jax.devices()), ("seg",))
+    many = idev.inflate_device(blob, index, mesh=mesh)
+    assert one == raw
+    assert many == one
+
+
 def test_scan_matches_native_end_bit():
     data = _fixture("geo.protodata")
     blob = native.deflate(data, 6)

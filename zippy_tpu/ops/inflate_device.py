@@ -275,9 +275,16 @@ def build_decode_index(data: bytes, start_bit: int = 0, every: int = 256):
     return native.inflate_scan(data, start_bit, every)
 
 
-def inflate_device(data: bytes, index=None, start_bit: int = 0) -> bytes:
+def inflate_device(data: bytes, index=None, start_bit: int = 0,
+                   mesh=None) -> bytes:
     """Decode a raw DEFLATE stream on the device. `index` is the result of
-    build_decode_index (scanned on the fly when omitted)."""
+    build_decode_index (scanned on the fly when omitted).
+
+    With `mesh` (a jax.sharding.Mesh), segment arrays shard over the mesh's
+    first axis — token extraction is a pure map over segments, so it runs
+    one shard per device with no communication; XLA inserts the collectives
+    the global LZ-resolution gathers need. N-device output is byte-identical
+    to 1-device (the multi-chip gate, SURVEY §4)."""
     if index is None:
         index = build_decode_index(data, start_bit)
     total_out = index["total_out"]
@@ -293,7 +300,8 @@ def inflate_device(data: bytes, index=None, start_bit: int = 0) -> bytes:
     nseg = seg.shape[0]
     out_pad = _pad_pow2(total_out)
     if nseg:
-        nseg_pad = _pad_pow2(nseg, 8)
+        lanes = max(8, mesh.devices.size if mesh is not None else 8)
+        nseg_pad = _pad_pow2(nseg, lanes)
         seg_bit = np.zeros(nseg_pad, dtype=np.int32)
         seg_outv = np.zeros(nseg_pad, dtype=np.int32)
         seg_blk = np.zeros(nseg_pad, dtype=np.int32)
@@ -303,11 +311,22 @@ def inflate_device(data: bytes, index=None, start_bit: int = 0) -> bytes:
         seg_blk[:nseg] = seg[:, 2]
         seg_ntok[:nseg] = seg[:, 3]
         ll_luts, d_luts = build_decode_luts(index["block_lens"])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            shard = NamedSharding(mesh, P(axis))
+            rep = NamedSharding(mesh, P())
+            place_seg = lambda a: jax.device_put(jnp.asarray(a), shard)
+            place_rep = lambda a: jax.device_put(jnp.asarray(a), rep)
+        else:
+            place_seg = place_rep = jnp.asarray
         out_len, litbyte, dists = extract_tokens(
-            words, jnp.asarray(seg_bit), jnp.asarray(seg_blk),
-            jnp.asarray(seg_ntok), jnp.asarray(ll_luts), jnp.asarray(d_luts),
+            place_rep(words), place_seg(seg_bit), place_seg(seg_blk),
+            place_seg(seg_ntok), place_rep(ll_luts), place_rep(d_luts),
             k=k)
-        seg_out_dev = jnp.asarray(seg_outv)
+        words = place_rep(words)
+        seg_out_dev = place_seg(seg_outv)
     else:
         out_len = jnp.zeros((1, 1), dtype=jnp.int32)
         litbyte = jnp.zeros((1, 1), dtype=jnp.int32)

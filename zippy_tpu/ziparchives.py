@@ -339,16 +339,33 @@ def extract_all(zip_path: str | os.PathLike, dest: str | os.PathLike) -> None:
         for record in reader.records.values():
             verify_path_is_safe_to_extract(record.path)
         try:
+            # Directories first (so parallel file writes never race mkdir),
+            # then files decode+write on a thread pool — entries are
+            # independent and the native decoder releases the GIL (the
+            # reference extracts serially, ziparchives.nim:429).
+            files = []
             for record in reader.records.values():
                 target = os.path.join(dest, record.path)
                 if record.kind == "directory":
                     os.makedirs(target, exist_ok=True)
                 else:
                     os.makedirs(os.path.dirname(target) or dest, exist_ok=True)
-                    with open(target, "wb") as f:
-                        f.write(reader.extract_file(record.path))
-                    if record.permissions:
-                        os.chmod(target, record.permissions)
+                    files.append((record, target))
+
+            def _extract_one(item):
+                record, target = item
+                with open(target, "wb") as f:
+                    f.write(reader.extract_file(record.path))
+                if record.permissions:
+                    os.chmod(target, record.permissions)
+
+            if len(files) > 1:
+                with ThreadPoolExecutor(
+                    max_workers=min(8, os.cpu_count() or 1)
+                ) as ex:
+                    list(ex.map(_extract_one, files))
+            elif files:
+                _extract_one(files[0])
             # Second pass for mtimes (ziparchives.nim:432-439).
             for record in reader.records.values():
                 mtime = reader._record_mtime(record)
