@@ -1066,9 +1066,37 @@ inline void flush_literal_run(TokenStream& ts, const uint8_t* src,
   }
 }
 
+// Literal-run flush into 4 striped histograms (merged once at the end of
+// tokenization). Popular bytes repeat back-to-back in real data; a single
+// counter array serializes on store-to-load forwarding, 4 stripes don't.
+inline void flush_literal_run4(TokenStream& ts, const uint8_t* src,
+                               size_t from, size_t upto, uint32_t* h0,
+                               uint32_t* h1, uint32_t* h2, uint32_t* h3) {
+  if (upto <= from) return;
+  size_t run = upto - from;
+  ts.n_literals += run;
+  size_t i = from;
+  for (; i + 4 <= upto; i += 4) {
+    h0[src[i]]++;
+    h1[src[i + 1]]++;
+    h2[src[i + 2]]++;
+    h3[src[i + 3]]++;
+  }
+  for (; i < upto; i++) h0[src[i]]++;
+  while (run > 0) {
+    uint32_t chunk = run > 0x7FFFFFFF ? 0x7FFFFFFF : (uint32_t)run;
+    ts.tokens.push_back(chunk);
+    run -= chunk;
+  }
+}
+
 // BestSpeed (level 1) matcher: direct-mapped 14-bit hash table, single probe,
 // snappy-style skip-ahead through incompressible data (reference snappy.nim:
 // encodeFragment :12, skip heuristic :90). No chains, no lazy evaluation.
+// The probe loop is software-pipelined (snappy's next_hash trick): the load
+// and hash of the NEXT probe position issue before the current candidate's
+// content check resolves, so the table lookup latency and the (mispredict-
+// prone) match branch overlap — ~1.6x on match-dense text.
 void tokenize_fast(const uint8_t* src, size_t start, size_t end,
                    TokenStream& ts, size_t hist_from) {
   const int kFastBits = 14;
@@ -1082,46 +1110,74 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
   // Seed history (sparsely — every 2nd position is enough for BestSpeed).
   for (size_t i = hist_from; i + kMinMatch <= start; i += 2)
     table[fhash(read32(src + i))] = (uint16_t)i;
+  ts.tokens.reserve((end - start) / 8 + 16);
+  alignas(64) uint32_t hh0[256] = {0}, hh1[256] = {0}, hh2[256] = {0},
+                       hh3[256] = {0};
   size_t pos = start, lit_start = start;
-  uint32_t skip = 32;
   uint32_t streak = 0;  // consecutive probes without a match
   uint32_t gear = 1;    // skip growth per miss (8 on incompressible input)
-  while (pos + kMinMatch <= end) {
-    uint32_t v = read32(src + pos);
-    uint32_t h = fhash(v);
-    size_t cand = pos - (uint16_t)((pos - table[h]) & 0xFFFF);
-    table[h] = (uint16_t)pos;
-    if (cand < pos && pos - cand <= kWindow &&
-        read32(src + cand) == v) {
-      int max_len = (int)std::min<size_t>(kMaxMatch, end - pos);
-      int len = match_len(src + pos, src + cand, max_len);
-      flush_literal_run(ts, src, lit_start, pos);
-      emit_match(ts, len, (uint32_t)(pos - cand));
-      size_t e = pos + (size_t)len;
-      // Seed the table near the match end so back-to-back matches chain.
-      if (e >= 2 && e - 2 + 4 <= end)
-        table[fhash(read32(src + e - 2))] = (uint16_t)(e - 2);
-      if (e - 1 + 4 <= end)
-        table[fhash(read32(src + e - 1))] = (uint16_t)(e - 1);
-      pos = e;
-      lit_start = pos;
-      skip = 32;
-      streak = 0;
-      gear = 1;
-    } else {
-      // Snappy-style skip-ahead, with a second gear: once 256 probes pass
-      // with NO match found in the whole part (pure incompressible input,
-      // headed for the stored fallback anyway) the stride grows 8x faster,
-      // halving the probe count on random data. Mixed content that has
-      // matched even once never shifts gears, so ratios are untouched
-      // (reference snappy.nim:90 grows linearly forever). The exact-equal
-      // test keeps the engage check out of the steady-state path.
-      if (++streak == 256 && ts.n_tokens_match == 0) gear = 8;
-      skip += gear;
-      pos += skip >> 5;
+  if (pos + kMinMatch <= end) {
+    uint32_t skip = 32;
+    uint32_t next_v = read32(src + pos);
+    uint32_t next_h = fhash(next_v);
+    for (;;) {
+      size_t cand;
+      uint32_t v;
+      for (;;) {  // probe until match or end of input
+        v = next_v;
+        uint32_t h = next_h;
+        skip += gear;
+        size_t next_pos = pos + (skip >> 5);
+        cand = pos - (uint16_t)((pos - table[h]) & 0xFFFF);
+        table[h] = (uint16_t)pos;
+        bool hit = cand < pos && pos - cand <= kWindow &&
+                   read32(src + cand) == v;
+        if (next_pos + kMinMatch <= end) {
+          // This load/hash overlaps the candidate check above.
+          next_v = read32(src + next_pos);
+          next_h = fhash(next_v);
+        } else if (hit) {
+          break;
+        } else {
+          pos = end;
+          goto done;
+        }
+        if (hit) break;
+        // Second gear: once 256 probes pass with NO match found in the
+        // whole part (pure incompressible input, headed for the stored
+        // fallback anyway) the stride grows 8x faster, halving the probe
+        // count on random data. Mixed content that has matched even once
+        // never shifts gears, so ratios are untouched (reference
+        // snappy.nim:90 grows linearly forever).
+        if (++streak == 256 && ts.n_tokens_match == 0) gear = 8;
+        pos = next_pos;
+      }
+      {
+        int max_len = (int)std::min<size_t>(kMaxMatch, end - pos);
+        int len = match_len(src + pos, src + cand, max_len);
+        flush_literal_run4(ts, src, lit_start, pos, hh0, hh1, hh2, hh3);
+        emit_match(ts, len, (uint32_t)(pos - cand));
+        size_t e = pos + (size_t)len;
+        // Seed the table near the match end so back-to-back matches chain.
+        if (e >= 2 && e - 2 + 4 <= end)
+          table[fhash(read32(src + e - 2))] = (uint16_t)(e - 2);
+        if (e - 1 + 4 <= end)
+          table[fhash(read32(src + e - 1))] = (uint16_t)(e - 1);
+        pos = e;
+        lit_start = pos;
+        skip = 32;
+        streak = 0;
+        gear = 1;
+        if (pos + kMinMatch > end) break;
+        next_v = read32(src + pos);
+        next_h = fhash(next_v);
+      }
     }
   }
-  flush_literal_run(ts, src, lit_start, end);
+done:
+  flush_literal_run4(ts, src, lit_start, end, hh0, hh1, hh2, hh3);
+  for (int i = 0; i < 256; i++)
+    ts.lit_freq[i] += hh0[i] + hh1[i] + hh2[i] + hh3[i];
   ts.lit_freq[256]++;
 }
 
@@ -1326,9 +1382,138 @@ uint64_t huffman_cost_bits(const TokenStream& ts, const uint8_t* ll_lens,
   return bits;
 }
 
-void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
-                 const TokenStream& ts, const CodeSet& cs,
-                 bool emit_eob = true) {
+// Precomputed per-CodeSet emit tables: fused (bits|nbits<<24) entries for
+// literals, match lengths (huffman code + extra bits in one shot), and
+// distance codes. Built once per block (~1k entries), amortized over the
+// token stream.
+struct EmitLut {
+  uint32_t lit[256];        // code | nbits<<24
+  uint32_t len[256];        // fused length sym + extra | nbits<<24
+  uint32_t dist_code[30];   // code | nbits<<24 (extra appended at emit)
+  uint32_t eob;
+  int eob_n;
+  int max_lit_bits;
+  void build(const CodeSet& cs) {
+    max_lit_bits = 0;
+    for (int i = 0; i < 256; i++) {
+      lit[i] = cs.litlen_codes[i] | ((uint32_t)cs.litlen_lens[i] << 24);
+      if (cs.litlen_lens[i] > max_lit_bits) max_lit_bits = cs.litlen_lens[i];
+    }
+    for (int l = 0; l < 256; l++) {
+      int li = kLenCode.idx[l];
+      int ls = 257 + li;
+      uint32_t v = cs.litlen_codes[ls];
+      int n = cs.litlen_lens[ls];
+      v |= (uint32_t)(l + 3 - kBaseLengths[li]) << n;
+      n += kLengthExtra[li];
+      len[l] = v | ((uint32_t)n << 24);
+    }
+    for (int d = 0; d < 30; d++)
+      dist_code[d] = cs.dist_codes[d] | ((uint32_t)cs.dist_lens[d] << 24);
+    eob = cs.litlen_codes[256];
+    eob_n = cs.litlen_lens[256];
+  }
+};
+
+// Branchless 64-bit serializer (libdeflate-style): accumulate into a 64-bit
+// buffer and unconditionally store 8 bytes per flush, advancing by whole
+// bytes — no per-add branch. PAIRS = literal pairs accumulated per flush
+// (bounded by worst-case literal code length so the buffer can't overflow:
+// 7 carried bits + PAIRS*2*max_lit_bits <= 64).
+template <int PAIRS>
+static void emit_tokens_fb(BitWriter& bw, const uint8_t* src, size_t start,
+                           const TokenStream& ts, const EmitLut& lut,
+                           bool emit_eob) {
+  uint64_t buf = bw.buf;
+  unsigned cnt = (unsigned)bw.cnt;  // < 32 on entry (BitWriter invariant)
+  uint8_t* p = bw.dst + bw.pos;
+  uint8_t* hard_end = bw.dst + bw.cap;
+  size_t pos = start;
+  bool full = false;
+  auto flush = [&] {
+    memcpy(p, &buf, 8);
+    unsigned nb = cnt >> 3;
+    p += nb;
+    buf >>= nb * 8;
+    cnt &= 7;
+  };
+  auto addlit = [&](uint8_t b) {
+    uint32_t e = lut.lit[b];
+    buf |= (uint64_t)(e & 0xFFFF) << cnt;
+    cnt += e >> 24;
+  };
+  // Entry flush: bw may carry up to 31 bits (e.g. right after the dynamic
+  // header); every accumulation bound below assumes <= 7 carried bits.
+  if (p + 8 > hard_end) {
+    bw.full = true;
+    return;
+  }
+  flush();
+  for (uint32_t t : ts.tokens) {
+    if (t & 0x80000000u) {
+      if (p + 16 > hard_end) {
+        full = true;
+        break;
+      }
+      uint32_t l = (t >> 16) & 0xFF;
+      uint32_t dist = (t & 0xFFFF) + 1;
+      uint32_t lv = lut.len[l];
+      buf |= (uint64_t)(lv & 0xFFFFFF) << cnt;  // <= 20 bits
+      cnt += lv >> 24;
+      flush();
+      int di = kDistCode.code(dist);
+      uint32_t dv = lut.dist_code[di];
+      uint32_t dn = dv >> 24;
+      buf |= (uint64_t)((dv & 0xFFFFFF) | ((dist - kBaseDists[di]) << dn))
+             << cnt;  // <= 28 bits
+      cnt += dn + kDistExtra[di];
+      flush();
+      pos += l + 3;
+    } else {
+      const uint8_t* lp = src + pos;
+      uint32_t k = 0;
+      for (; k + 2 * PAIRS <= t; k += 2 * PAIRS) {
+        if (p + 8 > hard_end) {
+          full = true;
+          goto out;
+        }
+        for (int j = 0; j < 2 * PAIRS; j++) addlit(lp[k + j]);
+        flush();
+      }
+      for (; k < t; k++) {
+        if (p + 8 > hard_end) {
+          full = true;
+          goto out;
+        }
+        addlit(lp[k]);
+        flush();
+      }
+      pos += t;
+    }
+  }
+out:
+  if (emit_eob && !full) {
+    if (p + 8 > hard_end) {
+      full = true;
+    } else {
+      buf |= (uint64_t)lut.eob << cnt;
+      cnt += lut.eob_n;
+      flush();
+    }
+  }
+  bw.buf = buf;
+  bw.cnt = (int)cnt;
+  bw.pos = p - bw.dst;
+  if (full) bw.full = true;
+}
+
+// Fallback serializer with a branch-on-fill writer. Wins only on streams of
+// LONG literal runs under >12-bit codes (e.g. near-incompressible data under
+// a skewed dynamic table), where its add-branch is perfectly predicted and
+// the branchless path's per-pair 8-byte store is pure overhead.
+static void emit_tokens_branchy(BitWriter& bw, const uint8_t* src,
+                                size_t start, const TokenStream& ts,
+                                const CodeSet& cs, bool emit_eob) {
   size_t pos = start;
   for (uint32_t t : ts.tokens) {
     if (t & 0x80000000u) {
@@ -1358,6 +1543,26 @@ void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
   }
   if (emit_eob)
     bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);  // end of block
+}
+
+void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
+                 const TokenStream& ts, const CodeSet& cs,
+                 bool emit_eob = true) {
+  EmitLut lut;
+  lut.build(cs);
+  if (lut.max_lit_bits <= 9) {
+    emit_tokens_fb<3>(bw, src, start, ts, lut, emit_eob);
+  } else if (lut.max_lit_bits <= 12) {
+    emit_tokens_fb<2>(bw, src, start, ts, lut, emit_eob);
+  } else {
+    // >12-bit literal codes force single-pair flush groups; those only lose
+    // to the branchy writer when runs are long (predictable add-branch).
+    size_t lit_tokens = ts.tokens.size() - ts.n_tokens_match;
+    if (lit_tokens > 0 && ts.n_literals > 8 * lit_tokens)
+      emit_tokens_branchy(bw, src, start, ts, cs, emit_eob);
+    else
+      emit_tokens_fb<1>(bw, src, start, ts, lut, emit_eob);
+  }
 }
 
 void emit_stored(BitWriter& bw, const uint8_t* src, size_t start, size_t len,
@@ -1703,7 +1908,19 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
   nparts = (src_len + part - 1) / part;
   if (nparts < 2) return deflate_impl(src, src_len, level, dst, dst_cap);
 
-  std::vector<std::vector<uint8_t>> bufs(nparts);
+  // Uninitialized per-part scratch (vector::resize would memset ~2x the
+  // input size, a measurable slice of sub-5ms encodes).
+  struct RawBuf {
+    std::unique_ptr<uint8_t[]> p;
+    size_t n = 0;
+    void alloc(size_t sz) {
+      p.reset(new uint8_t[sz]);
+      n = sz;
+    }
+    uint8_t* data() { return p.get(); }
+    size_t size() const { return n; }
+  };
+  std::vector<RawBuf> bufs(nparts);
   std::vector<int64_t> nbits(nparts, 0);
   WorkerPool& pool = WorkerPool::instance();
 
@@ -1794,7 +2011,7 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
       uint64_t shared_bits = std::min(dyn_bits, fix_bits);
       if (split_bits < shared_bits) {
         for (size_t t = 0; t < nparts; t++)
-          bufs[t].resize(2 * std::min(part, src_len - t * part) + 512);
+          bufs[t].alloc(2 * std::min(part, src_len - t * part) + 512);
         pool.parallel_for(nparts, [&](size_t t) {
           size_t start = t * part;
           size_t blen = std::min(part, src_len - start);
@@ -1830,7 +2047,7 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     for (size_t t = 0; t < nparts; t++) {
       // Shared codes can be poor for a heterogeneous part: worst case is
       // 15 bits per literal, so size for 2x rather than deflate_bound.
-      bufs[t].resize(2 * std::min(part, src_len - t * part) + 512);
+      bufs[t].alloc(2 * std::min(part, src_len - t * part) + 512);
     }
     pool.parallel_for(nparts, [&](size_t t) {
       size_t start = t * part;
@@ -1852,7 +2069,7 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
   }
 
   for (size_t t = 0; t < nparts; t++)
-    bufs[t].resize(deflate_bound(std::min(part, src_len - t * part)) + 8);
+    bufs[t].alloc(deflate_bound(std::min(part, src_len - t * part)) + 8);
   pool.parallel_for(nparts, [&](size_t t) {
     size_t start = t * part;
     size_t end = std::min(start + part, src_len);
