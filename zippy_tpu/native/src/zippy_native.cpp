@@ -24,6 +24,7 @@
 #include <functional>
 #include <deque>
 #include <atomic>
+#include <chrono>
 
 namespace {
 
@@ -330,6 +331,7 @@ const uint32_t kLutMask = (1u << kLutBits) - 1;
 const uint32_t kPkLit = 1u << 4;
 const uint32_t kPkEob = 1u << 5;
 const uint32_t kPkBad = 1u << 6;
+const uint32_t kPkPair = 1u << 7;  // entry resolves TWO literals
 
 struct HuffDecoder {
   uint16_t lut[1 << kLutBits];  // (sym << 4) | code_len; 0 = slow path
@@ -381,8 +383,10 @@ struct HuffDecoder {
   }
 
   // Fill lut32 with self-contained entries so the hot loop needs ONE lookup
-  // per symbol. Layout: bits 0-3 code length (0 = slow/long code);
+  // per symbol. Layout: bits 0-3 total code length (0 = slow/long code);
   //   litlen kind: bit4 literal (byte at 8-15), bit5 EOB, bit6 invalid,
+  //                bit7 literal PAIR (byte0 at 8-15, byte1 at 16-23, len =
+  //                both codes fused — one lookup emits two bytes),
   //                length syms: base at 16-24, extra-bit count at 28-30
   //   dist kind:   extra-bit count at 8-11, base at 16-31
   void build_packed(bool is_litlen) {
@@ -398,6 +402,22 @@ struct HuffDecoder {
       if (is_litlen) {
         if (sym < 256) {
           v = len | kPkLit | (sym << 8);
+          // Double-literal fusion: if the FULL second code (it must also be
+          // a literal) fits in the remaining window bits, resolve both in
+          // one entry. Default-level text streams carry 5-8 bit literal
+          // codes, so most literal chains halve; streams whose codes never
+          // pair (e.g. 8-9 bit BestSpeed codes under a 10-bit LUT) hit the
+          // single-literal path exactly as before.
+          // `i >> len` zero-extends the unknown high bits; a stored code of
+          // length l2 <= kLutBits-len is fully determined by the known low
+          // bits (prefix-freeness), so the entry read here is authoritative
+          // exactly when the fusion condition below holds.
+          uint16_t e2 = lut[i >> len];
+          uint32_t l2 = e2 & 15;
+          uint32_t sym2 = e2 >> 4;
+          if (e2 && sym2 < 256 && len + l2 <= (uint32_t)kLutBits) {
+            v = (len + l2) | kPkLit | kPkPair | (sym << 8) | (sym2 << 16);
+          }
         } else if (sym == 256) {
           v = len | kPkEob;
         } else if (sym <= 285) {
@@ -559,7 +579,12 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       // base + extra-bit count, so the common paths touch no other tables.
       uint32_t e = litlen->lut32[br.buf & kLutMask];
       while (e & kPkLit) {
-        dst[op++] = (uint8_t)(e >> 8);
+        // Pair entries carry two fused literals (byte0|byte1 little-endian
+        // at bits 8-23); writing 2 bytes and advancing by the pair flag
+        // keeps this branchless for both kinds.
+        uint16_t two = (uint16_t)(e >> 8);
+        memcpy(dst + op, &two, 2);
+        op += 1 + ((e >> 7) & 1);
         br.drop(e & 15);
         if (br.cnt < 15) break;
         e = litlen->lut32[br.buf & kLutMask];
@@ -1845,6 +1870,24 @@ class WorkerPool {
     cv_.notify_all();
     for (auto& w : workers_) w.join();
   }
+  // Post-task spin window before a worker blocks on the condvar. A condvar
+  // wakeup costs 50-200 us under virtualization — more than an entire phase
+  // of a sub-millisecond encode. The window is sized to bridge the SERIAL
+  // stretches between a call's parallel phases (merge + plan between
+  // tokenize and emit) and back-to-back calls in a pipeline, so the worker
+  // is still awake when the next phase fans out. ZT_SPIN_US overrides.
+  static int spin_us() {
+    static int v = [] {
+      const char* e = getenv("ZT_SPIN_US");
+      if (e && *e) {
+        long x = strtol(e, nullptr, 10);
+        if (x >= 0 && x <= 1000000) return (int)x;
+      }
+      return 500;
+    }();
+    return v;
+  }
+
   void worker_loop() {
     for (;;) {
       std::function<void()> task;
@@ -1853,9 +1896,11 @@ class WorkerPool {
         if (q_.empty() && !stop_) {
           // Bounded spin for freshly-enqueued work before sleeping.
           lk.unlock();
-          for (int spin = 0; spin < 4000; spin++) {
-            if (pending_.load(std::memory_order_acquire)) break;
-            __builtin_ia32_pause();
+          auto deadline = std::chrono::steady_clock::now() +
+                          std::chrono::microseconds(spin_us());
+          while (!pending_.load(std::memory_order_acquire)) {
+            for (int k = 0; k < 64; k++) __builtin_ia32_pause();
+            if (std::chrono::steady_clock::now() >= deadline) break;
           }
           lk.lock();
         }
