@@ -159,6 +159,18 @@ PyObject* py_inflate(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   }
 }
 
+// Persistent compress scratch: encoding into a worst-case-sized fresh
+// PyBytes and shrinking costs a large cold allocation per call (mmap +
+// page faults for multi-hundred-KiB bounds); the scratch's pages stay warm
+// across calls and the exact-size PyBytes copy is cheap by comparison.
+// Capped at 64 MiB — larger encodes fall back to direct-into-PyBytes.
+constexpr size_t kScratchMax = 64u << 20;
+std::vector<uint8_t>& compress_scratch(size_t need) {
+  thread_local std::vector<uint8_t> buf;
+  if (buf.size() < need) buf.resize(need);
+  return buf;
+}
+
 // deflate(data, level) -> bytes
 PyObject* py_deflate(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   if (nargs != 2) return raise_err("deflate(data, level)");
@@ -167,6 +179,15 @@ PyObject* py_deflate(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   long level = PyLong_AsLong(args[1]);
   if (level == -1 && PyErr_Occurred()) return nullptr;
   size_t cap = zt_deflate_bound(src.len());
+  if (cap <= kScratchMax) {
+    std::vector<uint8_t>& buf = compress_scratch(cap);
+    int64_t rc;
+    Py_BEGIN_ALLOW_THREADS;
+    rc = zt_deflate(src.data(), src.len(), (int)level, buf.data(), cap);
+    Py_END_ALLOW_THREADS;
+    if (rc < 0) return raise_err("deflate failed");
+    return PyBytes_FromStringAndSize((const char*)buf.data(), (Py_ssize_t)rc);
+  }
   PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)cap);
   if (!out) return nullptr;
   int64_t rc;
@@ -243,6 +264,16 @@ PyObject* py_gzip_compress(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     if (name_pad == -1 && PyErr_Occurred()) return nullptr;
   }
   size_t cap = zt_deflate_bound(src.len()) + 64;
+  if (cap <= kScratchMax) {
+    std::vector<uint8_t>& buf = compress_scratch(cap);
+    int64_t rc;
+    Py_BEGIN_ALLOW_THREADS;
+    rc = zt_gzip_compress(src.data(), src.len(), (int)level, buf.data(), cap,
+                          (int)name_pad);
+    Py_END_ALLOW_THREADS;
+    if (rc < 0) return raise_err("gzip compress failed");
+    return PyBytes_FromStringAndSize((const char*)buf.data(), (Py_ssize_t)rc);
+  }
   PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)cap);
   if (!out) return nullptr;
   int64_t rc;
@@ -299,6 +330,15 @@ PyObject* py_zlib_compress(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   long level = PyLong_AsLong(args[1]);
   if (level == -1 && PyErr_Occurred()) return nullptr;
   size_t cap = zt_deflate_bound(src.len()) + 16;
+  if (cap <= kScratchMax) {
+    std::vector<uint8_t>& buf = compress_scratch(cap);
+    int64_t rc;
+    Py_BEGIN_ALLOW_THREADS;
+    rc = zt_zlib_compress(src.data(), src.len(), (int)level, buf.data(), cap);
+    Py_END_ALLOW_THREADS;
+    if (rc < 0) return raise_err("zlib compress failed");
+    return PyBytes_FromStringAndSize((const char*)buf.data(), (Py_ssize_t)rc);
+  }
   PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)cap);
   if (!out) return nullptr;
   int64_t rc;
