@@ -91,11 +91,20 @@ def uncompress(
     data = _to_bytes(src)
 
     if data_format == dfDetect:
-        if _looks_gzip(data):
-            return uncompress(data, dfGzip)
-        if _looks_zlib(data):
-            return uncompress(data, dfZlib)
-        raise ZippyError("Unable to detect compressed data format")
+        # One-call native detect + decode (reference dfDetect semantics,
+        # zippy.nim:109-125). None means multi-member gzip: take the Python
+        # concatenation path below.
+        if native.uncompress_auto is not None:
+            out = native.uncompress_auto(data)
+            if out is not None:
+                return out
+            data_format = dfGzip
+        elif _looks_gzip(data):
+            data_format = dfGzip
+        elif _looks_zlib(data):
+            data_format = dfZlib
+        else:
+            raise ZippyError("Unable to detect compressed data format")
 
     if data_format == dfGzip:
         return gzip_format.uncompress_gzip(data)

@@ -297,3 +297,8 @@ if _pyzt is not None:
 
     def gzip_compress(data: bytes, level: int, name_pad: int = -1) -> bytes:
         return _pyzt_gzip_compress(data, level, name_pad)
+
+    # One-call detect + decode (None => multi-member gzip; caller loops).
+    uncompress_auto = _pyzt.uncompress_auto
+else:
+    uncompress_auto = None

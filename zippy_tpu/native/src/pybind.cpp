@@ -354,6 +354,40 @@ PyObject* py_zlib_compress(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   return out;
 }
 
+// uncompress_auto(data) -> bytes | None
+// Magic-byte format detection + whole decode in one call (reference
+// dfDetect, zippy.nim:109-125). Returns None for a multi-member gzip stream
+// (trailing bytes after the first member) so the Python layer can run its
+// concatenation loop; raises ZippyError on undetectable/invalid input.
+PyObject* py_uncompress_auto(PyObject* self, PyObject* const* args,
+                             Py_ssize_t nargs) {
+  if (nargs != 1) return raise_err("uncompress_auto(data)");
+  Py_buffer view{};
+  if (PyObject_GetBuffer(args[0], &view, PyBUF_SIMPLE) != 0) return nullptr;
+  const uint8_t* p = (const uint8_t*)view.buf;
+  size_t n = (size_t)view.len;
+  bool is_gzip = n > 18 && p[0] == 0x1F && p[1] == 0x8B && p[2] == 8 &&
+                 (p[3] & 0xE0) == 0;
+  bool is_zlib = !is_gzip && n > 6 && (p[0] & 0x0F) == 8 && (p[0] >> 4) <= 7 &&
+                 ((uint32_t)p[0] * 256 + p[1]) % 31 == 0;
+  PyBuffer_Release(&view);
+  if (is_gzip) {
+    PyObject* tup = py_gzip_uncompress(self, args, 1);
+    if (!tup) return nullptr;
+    PyObject* payload = PyTuple_GET_ITEM(tup, 0);
+    Py_ssize_t consumed = PyLong_AsSsize_t(PyTuple_GET_ITEM(tup, 1));
+    if ((size_t)consumed == n) {
+      Py_INCREF(payload);
+      Py_DECREF(tup);
+      return payload;
+    }
+    Py_DECREF(tup);
+    Py_RETURN_NONE;  // multi-member / trailing bytes: Python loop handles it
+  }
+  if (is_zlib) return py_zlib_uncompress(self, args, 1);
+  return raise_err("Unable to detect compressed data format");
+}
+
 // inflate_scan(data, start_bit, every, seg_buf, sto_buf, lens_buf, counts_buf)
 //   -> rc (0 ok, -1 malformed, -2 caps exceeded — counts filled, retry sized).
 // Buffers are writable bytes-like (bytearray): seg int64[cap][4],
@@ -427,6 +461,8 @@ PyMethodDef kMethods[] = {
     {"zlib_uncompress", (PyCFunction)(void*)py_zlib_uncompress, METH_FASTCALL,
      nullptr},
     {"zlib_compress", (PyCFunction)(void*)py_zlib_compress, METH_FASTCALL,
+     nullptr},
+    {"uncompress_auto", (PyCFunction)(void*)py_uncompress_auto, METH_FASTCALL,
      nullptr},
     {"inflate_scan", (PyCFunction)(void*)py_inflate_scan, METH_FASTCALL,
      nullptr},
