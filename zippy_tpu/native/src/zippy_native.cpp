@@ -1174,7 +1174,7 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
         // count on random data. Mixed content that has matched even once
         // never shifts gears, so ratios are untouched (reference
         // snappy.nim:90 grows linearly forever).
-        if (++streak == 256 && ts.n_tokens_match == 0) gear = 8;
+        if (++streak == 128 && ts.n_tokens_match == 0) gear = 16;
         pos = next_pos;
       }
       {
