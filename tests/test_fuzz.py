@@ -82,3 +82,31 @@ def test_stress_large_crosses_block_seam():
         assert zippy_tpu.uncompress(blob, dfZlib) == data
     # and decode of zlib's own output for the same data
     assert zippy_tpu.uncompress(zlib.compress(data, 6), dfZlib) == data
+
+
+def test_lying_isize_one_bit_literals():
+    """Regression: a stream of 1-bit literal codes emits ~84 bytes per
+    refill; with a lying (tiny) ISIZE pre-sizing the buffer, the fast-loop
+    literal run plus the same iteration's unchecked match copy could write
+    past the 300-byte slack guard. The decode must grow/raise, never
+    overflow (advisor finding, zippy_native.cpp fast inflate loop)."""
+    payload = b"a" * 100000
+    for level in (-2, 6, 9):
+        blob = bytearray(zippy_tpu.compress(payload, level, dfGzip))
+        # Lie in ISIZE (last 4 bytes): claim 16 bytes out.
+        blob[-4:] = (16).to_bytes(4, "little")
+        try:
+            out = zippy_tpu.uncompress(bytes(blob), dfGzip)
+            assert out == payload
+        except ZippyError:
+            pass  # size-verification failure is the expected outcome
+
+
+def test_multimember_gzip_detect_resumes():
+    """dfDetect on concatenated gzip must decode all members (and the
+    native fast path must hand the already-decoded first member to the
+    Python loop rather than None)."""
+    a = zippy_tpu.compress(b"hello " * 1000, 6, dfGzip)
+    b = zippy_tpu.compress(b"world " * 1000, 1, dfGzip)
+    c = zippy_tpu.compress(b"", 9, dfGzip)
+    assert zippy_tpu.uncompress(a + b + c) == b"hello " * 1000 + b"world " * 1000

@@ -92,13 +92,14 @@ def uncompress(
 
     if data_format == dfDetect:
         # One-call native detect + decode (reference dfDetect semantics,
-        # zippy.nim:109-125). None means multi-member gzip: take the Python
-        # concatenation path below.
+        # zippy.nim:109-125). A tuple means multi-member gzip: member 1 is
+        # already decoded; resume the concatenation loop at `consumed`.
         if native.uncompress_auto is not None:
             out = native.uncompress_auto(data)
-            if out is not None:
+            if isinstance(out, bytes):
                 return out
-            data_format = dfGzip
+            payload, consumed = out
+            return gzip_format.concat_members(data, [payload], consumed)
         elif _looks_gzip(data):
             data_format = dfGzip
         elif _looks_zlib(data):

@@ -231,8 +231,12 @@ def uncompress_gzip(src: bytes, trust_size: bool = False) -> bytes:
     payload, consumed = native_mod.gzip_uncompress(src, 0)
     if consumed == len(src):  # single member, nothing trailing (the hot case)
         return payload
-    parts = [payload]
-    pos = consumed
+    return concat_members(src, [payload], consumed)
+
+
+def concat_members(src: bytes, parts: list[bytes], pos: int) -> bytes:
+    """Continue the multi-member concatenation loop from byte `pos`, with
+    the members before `pos` already decoded into `parts`."""
     while True:
         # Trailing zero padding is tolerated (some tar tools pad archives).
         rest = src[pos:]

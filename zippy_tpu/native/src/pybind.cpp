@@ -164,11 +164,23 @@ PyObject* py_inflate(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
 // page faults for multi-hundred-KiB bounds); the scratch's pages stay warm
 // across calls and the exact-size PyBytes copy is cheap by comparison.
 // Capped at 64 MiB — larger encodes fall back to direct-into-PyBytes.
+// Only up to 8 MiB is retained between calls: a long-lived thread pool that
+// once compressed a huge buffer must not pin 64 MiB per thread forever.
 constexpr size_t kScratchMax = 64u << 20;
+constexpr size_t kScratchRetain = 8u << 20;
 std::vector<uint8_t>& compress_scratch(size_t need) {
   thread_local std::vector<uint8_t> buf;
   if (buf.size() < need) buf.resize(need);
   return buf;
+}
+
+// Copy the encoded prefix out of the scratch and release oversized backing
+// storage (swap-with-empty actually frees; shrink_to_fit may not).
+PyObject* scratch_to_bytes(std::vector<uint8_t>& buf, int64_t rc) {
+  PyObject* out =
+      PyBytes_FromStringAndSize((const char*)buf.data(), (Py_ssize_t)rc);
+  if (buf.size() > kScratchRetain) std::vector<uint8_t>().swap(buf);
+  return out;
 }
 
 // deflate(data, level) -> bytes
@@ -186,7 +198,7 @@ PyObject* py_deflate(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     rc = zt_deflate(src.data(), src.len(), (int)level, buf.data(), cap);
     Py_END_ALLOW_THREADS;
     if (rc < 0) return raise_err("deflate failed");
-    return PyBytes_FromStringAndSize((const char*)buf.data(), (Py_ssize_t)rc);
+    return scratch_to_bytes(buf, rc);
   }
   PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)cap);
   if (!out) return nullptr;
@@ -272,7 +284,7 @@ PyObject* py_gzip_compress(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
                           (int)name_pad);
     Py_END_ALLOW_THREADS;
     if (rc < 0) return raise_err("gzip compress failed");
-    return PyBytes_FromStringAndSize((const char*)buf.data(), (Py_ssize_t)rc);
+    return scratch_to_bytes(buf, rc);
   }
   PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)cap);
   if (!out) return nullptr;
@@ -337,7 +349,7 @@ PyObject* py_zlib_compress(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     rc = zt_zlib_compress(src.data(), src.len(), (int)level, buf.data(), cap);
     Py_END_ALLOW_THREADS;
     if (rc < 0) return raise_err("zlib compress failed");
-    return PyBytes_FromStringAndSize((const char*)buf.data(), (Py_ssize_t)rc);
+    return scratch_to_bytes(buf, rc);
   }
   PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)cap);
   if (!out) return nullptr;
@@ -354,11 +366,13 @@ PyObject* py_zlib_compress(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   return out;
 }
 
-// uncompress_auto(data) -> bytes | None
+// uncompress_auto(data) -> bytes | (first_payload, consumed)
 // Magic-byte format detection + whole decode in one call (reference
-// dfDetect, zippy.nim:109-125). Returns None for a multi-member gzip stream
-// (trailing bytes after the first member) so the Python layer can run its
-// concatenation loop; raises ZippyError on undetectable/invalid input.
+// dfDetect, zippy.nim:109-125). For a multi-member gzip stream (trailing
+// bytes after the first member) returns the already-decoded first payload
+// plus the byte offset of the next member so the Python concatenation loop
+// resumes there instead of re-decoding member 1; raises ZippyError on
+// undetectable/invalid input.
 PyObject* py_uncompress_auto(PyObject* self, PyObject* const* args,
                              Py_ssize_t nargs) {
   if (nargs != 1) return raise_err("uncompress_auto(data)");
@@ -381,8 +395,7 @@ PyObject* py_uncompress_auto(PyObject* self, PyObject* const* args,
       Py_DECREF(tup);
       return payload;
     }
-    Py_DECREF(tup);
-    Py_RETURN_NONE;  // multi-member / trailing bytes: Python loop handles it
+    return tup;  // multi-member: Python loop resumes at `consumed`
   }
   if (is_zlib) return py_zlib_uncompress(self, args, 1);
   return raise_err("Unable to detect compressed data format");

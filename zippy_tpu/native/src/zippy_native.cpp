@@ -568,8 +568,12 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
     // lookup), so typical text streams (5-9 bit literal codes) emit 6-10
     // literals per refill. A match header consumes at most 15+5 bits before
     // the distance, whose 15+13 worst case is covered by a conditional
-    // refill. Destination writes keep 266 bytes of slack so match copies go
-    // unchecked. The careful loop below handles the tail and tight buffers.
+    // refill. Destination writes keep 300 bytes of slack so match copies go
+    // unchecked; because a literal run (1-bit codes, fused pairs) can emit
+    // up to ~84 bytes per refill, the slack is re-checked between the run
+    // and the match decode so the unchecked <=273-byte copy (258 + 15-byte
+    // stride overrun) never starts with less than 300 bytes remaining. The
+    // careful loop below handles the tail and tight buffers.
     const size_t src_bits = src_len * 8;
     bool eob = false;
     while (!eob && op + 300 <= dst_cap) {
@@ -590,6 +594,9 @@ int64_t inflate_impl(const uint8_t* src, size_t src_len, size_t start_bit,
         e = litlen->lut32[br.buf & kLutMask];
       }
       if (e & kPkLit) continue;  // run ended on low bits; refill and resume
+      // Literal run may have consumed the slack; the pending (undropped)
+      // code re-decodes cleanly in the careful loop.
+      if (op + 300 > dst_cap) break;
       uint32_t length;
       if (e & 15) {
         if (e & kPkEob) {
@@ -1168,9 +1175,9 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
           goto done;
         }
         if (hit) break;
-        // Second gear: once 256 probes pass with NO match found in the
+        // Second gear: once 128 probes pass with NO match found in the
         // whole part (pure incompressible input, headed for the stored
-        // fallback anyway) the stride grows 8x faster, halving the probe
+        // fallback anyway) the stride grows 16x faster, slashing the probe
         // count on random data. Mixed content that has matched even once
         // never shifts gears, so ratios are untouched (reference
         // snappy.nim:90 grows linearly forever).

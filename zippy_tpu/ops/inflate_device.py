@@ -288,6 +288,11 @@ def inflate_device(data: bytes, index=None, start_bit: int = 0,
     if index is None:
         index = build_decode_index(data, start_bit)
     total_out = index["total_out"]
+    # Device offsets are int32 (seg_bit, seg_out, src_ix): streams >= 2^31
+    # bits (~256 MiB compressed) or >= 2 GiB out would silently wrap.
+    if index["end_bit"] >= 2**31 - 64 or total_out >= 2**31 - 1:
+        raise ZippyError(
+            "Input too large for device decode (int32 offset range)")
     if total_out == 0:
         return b""
     seg = index["segments"]
