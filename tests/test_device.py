@@ -51,14 +51,26 @@ def test_device_deflate_all_literal_and_runs():
 def test_device_ratio_sane():
     # Not bit-parity with the host encoder, but the device parse must stay
     # in zlib's ballpark: within 60% on a pathological pure-repeat payload
-    # (token-boundary effects dominate tiny outputs) and 15% on real text.
+    # (token-boundary effects dominate tiny outputs) and 6% on real text —
+    # cross-block history (HIST prefix) + k=12 candidates at L6.
     data = (b"zippy tpu device pipeline round trip " * 400)[:SMALL * 2]
     blob = dd.deflate(data, 6, block_size=SMALL)
     assert len(blob) <= len(zlib.compress(data, 6)) * 1.6
 
     text = open("/root/reference/tests/data/alice29.txt", "rb").read()[:4 * SMALL]
     blob = dd.deflate(text, 6, block_size=SMALL)
-    assert len(blob) <= len(zlib.compress(text, 6)) * 1.15
+    assert len(blob) <= len(zlib.compress(text, 6)) * 1.06
+
+
+def test_device_ratio_near_native_with_history():
+    # VERDICT r1 item 9 gate: full-size blocks + 32 KiB cross-block history
+    # keep the device L6 parse within 2% of the native hash-chain encoder.
+    from zippy_tpu import native
+
+    text = open("/root/reference/tests/data/alice29.txt", "rb").read()
+    blob = dd.deflate(text, 6)           # full 64 KiB blocks, HIST prefix
+    assert zlib.decompress(blob, wbits=-15) == text
+    assert len(blob) <= len(native.deflate(text, 6)) * 1.02
 
 
 def test_find_tokens_token_cover():
@@ -79,14 +91,29 @@ def test_find_tokens_token_cover():
     assert pos == SMALL
 
 
-def test_sharded_deflate_matches_single_device():
+@pytest.mark.parametrize("level", [1, 6])
+def test_sharded_deflate_matches_single_device(level):
+    # Dynamic-Huffman under the mesh (VERDICT r1 item 2): the sharded output
+    # must be byte-identical across mesh sizes AND to the single-process
+    # device pipeline at every level.
     data = _mixed_payload(6 * 2048 + 17)
     mesh_n = parallel.default_mesh()          # all (8 virtual) devices
     mesh_1 = parallel.default_mesh(1)
-    blob_n = parallel.deflate_sharded(data, 6, mesh_n, block_size=2048)
-    blob_1 = parallel.deflate_sharded(data, 6, mesh_1, block_size=2048)
+    blob_n = parallel.deflate_sharded(data, level, mesh_n, block_size=2048)
+    blob_1 = parallel.deflate_sharded(data, level, mesh_1, block_size=2048)
+    blob_s = dd.deflate(data, level, block_size=2048)
     assert blob_n == blob_1
+    assert blob_n == blob_s
     assert zlib.decompress(blob_n, wbits=-15) == data
+
+
+def test_sharded_ratio_matches_zlib_ballpark():
+    # The sharded path is no longer fixed-Huffman-only: its ratio gate now
+    # matches the single-process device pipeline's.
+    text = open("/root/reference/tests/data/alice29.txt", "rb").read()[:16384]
+    blob = parallel.deflate_sharded(text, 6, parallel.default_mesh(),
+                                    block_size=4096)
+    assert len(blob) <= len(zlib.compress(text, 6)) * 1.06
 
 
 def test_sharded_gzip_member():
@@ -95,6 +122,21 @@ def test_sharded_gzip_member():
     data = _mixed_payload(4 * 2048)
     blob = parallel.compress_gzip_sharded(data, 1, parallel.default_mesh())
     assert gzip.decompress(blob) == data
+
+
+def test_sharded_zlib_stream():
+    data = _mixed_payload(4 * 2048, seed=11)
+    blob = parallel.compress_zlib_sharded(data, 6, parallel.default_mesh())
+    assert zlib.decompress(blob) == data
+
+
+def test_sharded_checksums():
+    data = _mixed_payload(3 * 1024 * 1024 + 12345, seed=5)
+    mesh = parallel.default_mesh()
+    assert parallel.crc32_sharded(data, mesh) == zlib.crc32(data)
+    assert parallel.adler32_sharded(data, mesh) == zlib.adler32(data)
+    assert parallel.crc32_sharded(b"", mesh) == 0
+    assert parallel.adler32_sharded(b"", mesh) == 1
 
 
 def test_public_api_device_engine():
@@ -108,3 +150,44 @@ def test_public_api_device_engine():
     assert zlib.decompress(blob, wbits=-15) == data
     z = zippy_tpu.compress(data, 6, zippy_tpu.dfZlib, engine_name="device")
     assert zlib.decompress(z) == data
+
+
+def test_device_resident_api():
+    # VERDICT r1 item 3: compress(jax.Array) routes to the device pipeline
+    # (deflate + checksum on chip) and matches the bytes-path output.
+    import gzip
+
+    import jax.numpy as jnp
+    import zippy_tpu
+
+    data = open("/root/reference/tests/data/alice29.txt", "rb").read()[:40000]
+    x = jnp.asarray(np.frombuffer(data, np.uint8))
+    blob = zippy_tpu.compress(x, 6, zippy_tpu.dfGzip)
+    assert gzip.decompress(blob) == data
+    z = zippy_tpu.compress(x, 6, zippy_tpu.dfZlib)
+    assert zlib.decompress(z) == data
+    raw = zippy_tpu.compress(x, 6, zippy_tpu.dfDeflate)
+    assert raw == dd.deflate_array(x, 6)
+    assert zlib.decompress(raw, wbits=-15) == data
+    # uncompress accepts device arrays too (host decode after one fetch)
+    assert zippy_tpu.uncompress(jnp.asarray(
+        np.frombuffer(blob, np.uint8))) == data
+
+
+def test_uncompress_device_engine():
+    # engine-routed decode symmetry (VERDICT r1 weak item 9): gzip, zlib and
+    # raw deflate through the device decoder, checksums verified on device.
+    import zippy_tpu
+
+    data = _mixed_payload(3 * SMALL, seed=9)
+    g = zippy_tpu.compress(data, 6, zippy_tpu.dfGzip)
+    z = zippy_tpu.compress(data, 6, zippy_tpu.dfZlib)
+    r = zippy_tpu.compress(data, 6, zippy_tpu.dfDeflate)
+    assert zippy_tpu.uncompress(g, engine_name="device") == data
+    assert zippy_tpu.uncompress(z, engine_name="device") == data
+    assert zippy_tpu.uncompress(r, zippy_tpu.dfDeflate,
+                                engine_name="device") == data
+    # corrupt zlib trailer -> device adler must reject
+    bad = z[:-1] + bytes([z[-1] ^ 1])
+    with pytest.raises(zippy_tpu.ZippyError):
+        zippy_tpu.uncompress(bad, engine_name="device")

@@ -29,6 +29,10 @@ def _to_bytes(src) -> bytes:
         return bytes(src)
     if isinstance(src, str):
         return src.encode("utf-8")
+    if engine.is_device_array(src):
+        import numpy as np
+
+        return np.asarray(src).tobytes()
     raise TypeError(f"Unsupported input type {type(src)!r}")
 
 
@@ -39,15 +43,21 @@ def compress(
     *,
     engine_name: str = "auto",
 ) -> bytes:
-    """Compress src, framed per data_format (gzip by default)."""
-    data = _to_bytes(src)
+    """Compress src, framed per data_format (gzip by default).
+
+    A device-resident jax.Array compresses WITHOUT a host bounce: the
+    deflate body and the trailer checksum both run on the accelerator
+    (engine auto-routing by residency); only framing happens on host.
+    """
     check_level(level)
+    on_device = engine.is_device_array(src)
+    data = src if on_device else _to_bytes(src)
 
     if data_format == dfGzip:
         return gzip_format.write_member(data, level, engine_name=engine_name)
 
     if data_format == dfZlib:
-        if engine_name in ("auto", "native"):
+        if not on_device and engine_name in ("auto", "native"):
             return native.zlib_compress(data, level)
         cm = 8
         cinfo = 7
@@ -86,9 +96,36 @@ def _looks_zlib(data: bytes) -> bool:
 def uncompress(
     src,
     data_format: CompressedDataFormat = dfDetect,
+    *,
+    engine_name: str = "auto",
 ) -> bytes:
-    """Uncompress src; detects gzip/zlib framing by default."""
+    """Uncompress src; detects gzip/zlib framing by default.
+
+    engine_name="device" runs the index-based device-parallel decode
+    (ops/inflate_device: one host boundary scan, then concurrent segment
+    decode on the accelerator) — symmetric with compress(engine_name=...).
+    "auto" keeps host bytes on the native decoder, which wins for
+    host-resident buffers.
+    """
     data = _to_bytes(src)
+
+    if engine_name == "device":
+        from .ops import inflate_device
+
+        if data_format == dfDetect:
+            if _looks_gzip(data):
+                data_format = dfGzip
+            elif _looks_zlib(data):
+                data_format = dfZlib
+            else:
+                raise ZippyError("Unable to detect compressed data format")
+        if data_format == dfGzip:
+            return inflate_device.uncompress_gzip_device(data)
+        if data_format == dfZlib:
+            return inflate_device.uncompress_zlib_device(data)
+        if data_format == dfDeflate:
+            return inflate_device.inflate_device(data)
+        raise ZippyError(f"Invalid data format {data_format}")
 
     if data_format == dfDetect:
         # One-call native detect + decode (reference dfDetect semantics,

@@ -28,15 +28,31 @@ def device_available() -> bool:
     return _device_available
 
 
-def deflate(data: bytes, level: int, engine: str = "auto") -> bytes:
+def is_device_array(x) -> bool:
+    """True for a jax.Array (device-resident buffer), False for host bytes
+    and numpy arrays."""
+    try:
+        import jax
+
+        return isinstance(x, jax.Array)
+    except Exception:  # pragma: no cover - jax always present here
+        return False
+
+
+def deflate(data, level: int, engine: str = "auto") -> bytes:
     """Raw DEFLATE encode via the chosen engine.
 
-    "auto" currently always picks the native engine: for host-resident
-    buffers the host<->device link (~0.2 GB/s on this setup) dominates any
-    on-chip win. The device pipeline (ops/deflate_device.py) is for
-    device-resident data and multi-chip scale-out (zippy_tpu.parallel);
-    select it explicitly with engine="device".
+    "auto" routes by residency: a device-resident jax.Array runs the device
+    pipeline with on-chip block slicing (no host bounce of the payload,
+    ops/deflate_device.deflate_array); host bytes run the native engine —
+    for host-resident buffers the host<->device link (~0.2 GB/s on this
+    setup) dominates any on-chip win. engine="device" forces the device
+    pipeline for host bytes too; zippy_tpu.parallel adds multi-chip.
     """
+    if is_device_array(data):
+        from .ops import deflate_device
+
+        return deflate_device.deflate_array(data, level)
     if engine == "device":
         from .ops import deflate_device
 
@@ -66,8 +82,8 @@ def inflate(
     return native.inflate(data, start_bit, size_hint=size_hint)
 
 
-def crc32(data: bytes, engine: str = "auto") -> int:
-    if engine == "device" or (
+def crc32(data, engine: str = "auto") -> int:
+    if is_device_array(data) or engine == "device" or (
         engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
     ):
         from .ops import checksums
@@ -76,8 +92,8 @@ def crc32(data: bytes, engine: str = "auto") -> int:
     return native.crc32(data)
 
 
-def adler32(data: bytes, engine: str = "auto") -> int:
-    if engine == "device" or (
+def adler32(data, engine: str = "auto") -> int:
+    if is_device_array(data) or engine == "device" or (
         engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
     ):
         from .ops import checksums

@@ -37,7 +37,30 @@ def write_member(
     extra: bytes | None = None,
     engine_name: str = "auto",
 ) -> bytes:
-    """One gzip member: header + deflate stream + crc32/ISIZE trailer."""
+    """One gzip member: header + deflate stream + crc32/ISIZE trailer.
+
+    A device-resident jax.Array src keeps the payload on the accelerator:
+    deflate body via the device pipeline, crc32 via the device GF(2) fold;
+    only the ~20 header/trailer bytes assemble on host."""
+    if engine.is_device_array(src):
+        n_src = int(src.shape[0])
+        flg = 0
+        fields = b""
+        if extra is not None:
+            if len(extra) > 0xFFFF:
+                raise ZippyError("gzip FEXTRA field too long")
+            flg |= FEXTRA
+            fields += struct.pack("<H", len(extra)) + extra
+        if random_name_padding:
+            flg |= FNAME
+            npad = os.urandom(1)[0] % 26
+            fields += bytes(97 + i for i in range(npad)) + b"\x00"
+        header = struct.pack("<2sBBIBB", GZIP_MAGIC, 8, flg, 0, 0, 0)
+        body = engine.deflate(src, level, engine_name)
+        trailer = struct.pack(
+            "<II", engine.crc32(src, engine_name), n_src & 0xFFFFFFFF)
+        return header + fields + body + trailer
+
     if extra is None and engine_name in ("auto", "native"):
         # Single-call native fast path (header + deflate + trailer in C++).
         name_pad = os.urandom(1)[0] % 26 if random_name_padding else -1

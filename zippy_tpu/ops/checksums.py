@@ -181,7 +181,7 @@ def adler32_device(data, *, use_pallas: bool = False) -> int:
             return pallas_checksums.adler32_pallas(data)
         except Exception:  # pragma: no cover - backend without Pallas
             pass
-    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    arr = _as_u8(data)
     n = arr.shape[0]
     if n == 0:
         return 1
@@ -228,22 +228,11 @@ def _gf2_matvec_device(cols: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@jax.jit
-def _crc32_padded(data: jnp.ndarray, init_term: jnp.ndarray) -> jnp.ndarray:
-    """Raw-space CRC over data (power-of-two words, leading zero padding).
-
-    Leading zero bytes are free in raw space (T0[0] == 0), so callers pad at
-    the FRONT to a power-of-two word count. `init_term` = shift8^n(0xFFFFFFFF),
-    host-computed per call (32x32 GF(2) square-multiply, microseconds).
-
-    The log-tree combine runs as a fixed-shape butterfly under fori_loop
-    (an unrolled halving tree compiles a levels*32-op graph — minutes of XLA
-    time at MB sizes; the butterfly body compiles once).
-    """
-    tabs = jnp.asarray(_crc_word_tables())
-    d = data.reshape(-1, 4).astype(jnp.int32)
-    c = (tabs[3][d[:, 0]] ^ tabs[2][d[:, 1]] ^ tabs[1][d[:, 2]]
-         ^ tabs[0][d[:, 3]])
+def _crc32_raw_words(c: jnp.ndarray) -> jnp.ndarray:
+    """Fold per-word raw CRCs (power-of-two count) to the raw CRC of the
+    concatenation, via the log-tree butterfly under fori_loop (an unrolled
+    halving tree compiles a levels*32-op graph — minutes of XLA time at MB
+    sizes; the butterfly body compiles once)."""
     nwords = c.shape[0]
     levels = int(np.log2(nwords)) if nwords > 1 else 0
     if levels:
@@ -263,12 +252,56 @@ def _crc32_padded(data: jnp.ndarray, init_term: jnp.ndarray) -> jnp.ndarray:
             return jnp.where(take, combined, c)
 
         c = jax.lax.fori_loop(0, levels, step, c)
-    raw = c[nwords - 1]
+    return c[nwords - 1]
+
+
+def _words_raw_crc(data: jnp.ndarray) -> jnp.ndarray:
+    """Per-4-byte-word raw CRCs via slice-by-4 LUT gathers (leading axis
+    preserved; last axis must be a multiple of 4)."""
+    tabs = jnp.asarray(_crc_word_tables())
+    d = data.reshape(data.shape[:-1] + (-1, 4)).astype(jnp.int32)
+    return (tabs[3][d[..., 0]] ^ tabs[2][d[..., 1]] ^ tabs[1][d[..., 2]]
+            ^ tabs[0][d[..., 3]])
+
+
+@jax.jit
+def _crc32_padded(data: jnp.ndarray, init_term: jnp.ndarray) -> jnp.ndarray:
+    """Raw-space CRC over data (power-of-two words, leading zero padding).
+
+    Leading zero bytes are free in raw space (T0[0] == 0), so callers pad at
+    the FRONT to a power-of-two word count. `init_term` = shift8^n(0xFFFFFFFF),
+    host-computed per call (32x32 GF(2) square-multiply, microseconds).
+    """
+    raw = _crc32_raw_words(_words_raw_crc(data))
     return raw ^ init_term ^ jnp.uint32(0xFFFFFFFF)
 
 
-def _bucket_pad(arr: np.ndarray, multiple: int, front: bool = False) -> np.ndarray:
-    """Pad to the next power-of-two multiple of `multiple` (limits recompiles)."""
+@jax.jit
+def _crc32_blocks_raw(rows: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Raw-space CRC of rows[r, :lens[r]] for every row at once.
+
+    rows: (G, B) uint8 with B a power-of-two multiple of 4, data at the
+    FRONT, zeros after lens[r]. Each row is rolled right so its real bytes
+    end at the row boundary (leading zeros are free in raw space), then the
+    per-row word CRCs fold through the log tree. Used by the block-parallel
+    gzip/zlib trailer (parallel/blocks.py) with crc32_combine on host."""
+    B = rows.shape[1]
+    rolled = jax.vmap(lambda r, sh: jnp.roll(r, sh))(rows, B - lens)
+    return jax.vmap(_crc32_raw_words)(_words_raw_crc(rolled))
+
+
+def _as_u8(data):
+    """bytes -> numpy view; jax.Array stays ON DEVICE (no host bounce)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(data, dtype=np.uint8)
+    if isinstance(data, jax.Array):
+        return data.astype(jnp.uint8) if data.dtype != jnp.uint8 else data
+    return np.asarray(data, dtype=np.uint8)
+
+
+def _bucket_pad(arr, multiple: int, front: bool = False):
+    """Pad to the next power-of-two multiple of `multiple` (limits recompiles).
+    numpy in -> numpy out; jax.Array in -> device-side pad."""
     n = arr.shape[0]
     target = multiple
     while target < n:
@@ -276,6 +309,9 @@ def _bucket_pad(arr: np.ndarray, multiple: int, front: bool = False) -> np.ndarr
     pad = target - n
     if pad == 0:
         return arr
+    if isinstance(arr, jax.Array):
+        off = pad if front else 0
+        return jnp.zeros(target, jnp.uint8).at[off : off + n].set(arr)
     return np.concatenate([np.zeros(pad, np.uint8), arr] if front
                           else [arr, np.zeros(pad, np.uint8)])
 
@@ -294,7 +330,7 @@ def crc32_device(data, *, use_pallas: bool = False) -> int:
             return pallas_checksums.crc32_pallas(data)
         except Exception:  # pragma: no cover - backend without Pallas
             pass
-    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
+    arr = _as_u8(data)
     n = arr.shape[0]
     if n == 0:
         return 0

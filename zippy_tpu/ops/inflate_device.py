@@ -357,6 +357,34 @@ def inflate_device(data: bytes, index=None, start_bit: int = 0,
     return bytes(np.asarray(out)[:total_out].tobytes())
 
 
+def uncompress_zlib_device(blob: bytes, index=None) -> bytes:
+    """Decode one zlib stream on the device; adler32 verified on device
+    against the big-endian trailer (reference zippy.nim:154-162 contract)."""
+    from . import checksums
+
+    if len(blob) < 6:
+        raise ZippyError("Invalid compressed data")
+    cmf, flg = blob[0], blob[1]
+    if (cmf & 0x0F) != 8:
+        raise ZippyError("Unsupported compression method")
+    if (cmf >> 4) > 7:
+        raise ZippyError("Invalid compression info")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ZippyError("Invalid header")
+    if flg & 0b0010_0000:
+        raise ZippyError("Preset dictionary is not yet supported")
+    if index is None:
+        index = build_decode_index(blob, 16)
+    payload = inflate_device(blob, index)
+    tpos = (index["end_bit"] + 7) // 8
+    if tpos + 4 > len(blob):
+        raise ZippyError("Invalid compressed data")
+    want = int.from_bytes(blob[tpos : tpos + 4], "big")
+    if checksums.adler32_device(payload) != want:
+        raise ZippyError("Checksum verification failed")
+    return payload
+
+
 def uncompress_gzip_device(blob: bytes, index=None) -> bytes:
     """Decode one gzip member on the device; crc32 verified on device
     (ops.checksums GF(2) fold) against the trailer, ISIZE checked mod 2^32

@@ -7,9 +7,19 @@ TP/PP/EP have no analogue in a codec — documented N/A in SURVEY §2).
 """
 
 from .blocks import (
+    adler32_sharded,
     compress_gzip_sharded,
+    compress_zlib_sharded,
+    crc32_sharded,
     default_mesh,
     deflate_sharded,
 )
 
-__all__ = ["deflate_sharded", "compress_gzip_sharded", "default_mesh"]
+__all__ = [
+    "deflate_sharded",
+    "compress_gzip_sharded",
+    "compress_zlib_sharded",
+    "crc32_sharded",
+    "adler32_sharded",
+    "default_mesh",
+]

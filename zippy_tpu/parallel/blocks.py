@@ -1,13 +1,21 @@
 """Block-parallel compression over a device mesh.
 
 The reference is single-threaded; its 4 MiB block loop (deflate.nim:228-237)
-is the natural parallelism seam because LZ77 state never crosses block
-boundaries (lz77.nim:63-64). Here each mesh device compresses a contiguous
-run of blocks with the device pipeline (ops/deflate_device.py) under
-shard_map; per-block bit lengths are all-gathered (the only collective the
-problem needs — see SURVEY §5 "distributed communication backend") and the
-host splices the ragged bitstreams in block order, so the N-device output is
-byte-identical to the 1-device output.
+is the natural parallelism seam. Here each mesh device runs the FULL device
+pipeline (ops/deflate_device.py: sort-based match finding with 32 KiB
+cross-block history, pointer-doubling token select, prefix-sum bit pack)
+on a contiguous run of blocks under shard_map. Per-block symbol histograms
+come back to the host (tiny: 316 ints per block — the only all-gather the
+problem needs, SURVEY §5), the host builds per-block Huffman tables and the
+stored/fixed/dynamic choice exactly like the single-process path
+(reference block emission deflate.nim:280-394), then a second sharded
+dispatch bit-packs with those tables. The host splices the ragged bitstreams
+in block order, so the N-device output is byte-identical to the 1-device
+output AND to ops.deflate_device.deflate at every level.
+
+Container checksums are computed block-parallel on device too (raw-space
+CRC rows + GF(2) combine, per-block adler + adler32_combine) — the host
+never re-scans the input (reference checksum call sites zippy.nim:47,73).
 """
 
 from __future__ import annotations
@@ -19,9 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import checksums as cks
 from ..ops import deflate_device as dd
 
 AXIS = "blocks"
+
+# Blocks per device per dispatch come from dd._group_sizes(k) (bounds the
+# (g, N, k, L_CMP) compare intermediate per device).
 
 
 def default_mesh(n_devices: int | None = None) -> Mesh:
@@ -31,37 +43,48 @@ def default_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "lazy"))
-def _compress_blocks_sharded(blocks, lens, *, mesh: Mesh, k: int, lazy: bool):
-    """blocks: (nblocks, N + PAD) uint8; lens: (nblocks,) int32.
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "lazy", "hist"))
+def _find_tokens_sharded(blocks, lens, hist_lens, *, mesh: Mesh, k: int,
+                         lazy: bool, hist: int):
+    """Phase 1 sharded: match + select + histograms, one shard of blocks per
+    device. Pure map — no communication."""
 
-    Runs the fixed-Huffman device pipeline on every block, sharded over the
-    mesh; returns (words (nblocks, W) uint32, bits (nblocks,) int32,
-    total_bits ()) with total_bits computed via an all-reduce.
-    """
-
-    def per_shard(blocks_l, lens_l):
-        words, bits, llh, dh = jax.vmap(
-            lambda d, n: dd.compress_block_fixed(d, n, k=k, lazy=lazy)
-        )(blocks_l, lens_l)
-        total = jax.lax.psum(jnp.sum(bits), AXIS)
-        return words, bits, total
+    def per_shard(blocks_l, lens_l, hist_l):
+        return jax.vmap(
+            lambda d, n, hl: dd.find_tokens(d, n, hl, k=k, lazy=lazy,
+                                            hist=hist)
+        )(blocks_l, lens_l, hist_l)
 
     return jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS), P()),
-    )(blocks, lens)
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS, None),
+    )(blocks, lens, hist_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _pack_tokens_sharded(toks, ll_lens, ll_codes, d_lens, d_codes, *,
+                         mesh: Mesh):
+    """Phase 2 sharded: bit-pack each block with its host-built code tables."""
+
+    def per_shard(toks_l, a, b, c, d):
+        return jax.vmap(dd.pack_tokens)(toks_l, a, b, c, d)
+
+    return jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                  P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS)),
+    )(toks, ll_lens, ll_codes, d_lens, d_codes)
 
 
 def deflate_sharded(data: bytes, level: int = 1, mesh: Mesh | None = None,
                     block_size: int = dd.BLOCK) -> bytes:
-    """Raw DEFLATE stream, block-parallel across the mesh (fixed Huffman).
-
-    Output is byte-identical regardless of mesh size: block payloads are
-    spliced in block order on the host.
-    """
+    """Raw DEFLATE stream, block-parallel across the mesh, with per-block
+    dynamic/fixed/stored choice — byte-identical to the single-process
+    device pipeline (ops.deflate_device.deflate) and across mesh sizes."""
     if mesh is None:
         mesh = default_mesh()
     n_dev = mesh.devices.size
@@ -74,46 +97,176 @@ def deflate_sharded(data: bytes, level: int = 1, mesh: Mesh | None = None,
 
     k, lazy = dd._level_params(level)
     nblocks = -(-n // block_size)
-    # Pad block count to a multiple of the mesh size (empty blocks emit
-    # nothing: bits come back 0-length for n=0... keep lens >= 0).
-    nblocks_padded = -(-nblocks // n_dev) * n_dev
-    blocks = np.zeros((nblocks_padded, block_size + dd.PAD), np.uint8)
-    lens = np.zeros(nblocks_padded, np.int32)
-    for bi in range(nblocks):
-        start = bi * block_size
-        end = min(start + block_size, n)
-        seg = arr[start : min(start + block_size + dd.PAD, n)]
-        blocks[bi, : len(seg)] = seg
-        lens[bi] = end - start
+    hist = dd.HIST if nblocks > 1 else 0
+    padded = np.zeros(hist + nblocks * block_size + dd.PAD, dtype=np.uint8)
+    padded[hist : hist + n] = arr
 
-    sharding = NamedSharding(mesh, P(AXIS, None))
-    blocks_j = jax.device_put(blocks, sharding)
-    lens_j = jax.device_put(lens, NamedSharding(mesh, P(AXIS)))
-    words, bits, _total = _compress_blocks_sharded(
-        blocks_j, lens_j, mesh=mesh, k=k, lazy=lazy
-    )
-    words_np = np.asarray(jax.device_get(words)).astype("<u4")
-    bits_np = np.asarray(jax.device_get(bits))
+    row_spec = NamedSharding(mesh, P(AXIS, None))
+    vec_spec = NamedSharding(mesh, P(AXIS))
 
     out = dd._ByteBitAppender()
-    for bi in range(nblocks):
-        final = bi == nblocks - 1
-        bw = dd._HostBitWriter()
-        bw.add(1 if final else 0, 1)
-        bw.add(1, 2)  # fixed-Huffman block
-        out.append_host_writer(bw)
-        out.append_bits(words_np[bi].view(np.uint8), int(bits_np[bi]))
+    group_sizes = dd._group_sizes(k)
+    bi = 0
+    while bi < nblocks:
+        remaining = nblocks - bi
+        g = next(g for g in group_sizes
+                 if g * n_dev <= max(remaining, n_dev))
+        gsize = g * n_dev                    # dispatch size (may exceed
+        greal = min(gsize, remaining)        # remaining; tail rows are dummy)
+        blocks_np = np.zeros((gsize, hist + block_size + dd.PAD), np.uint8)
+        lens_np = np.zeros(gsize, np.int32)
+        hist_np = np.zeros(gsize, np.int32)
+        for j in range(greal):
+            b = bi + j
+            blocks_np[j] = padded[
+                b * block_size : b * block_size + hist + block_size + dd.PAD]
+            lens_np[j] = min(block_size, n - b * block_size)
+            hist_np[j] = min(hist, b * block_size)
+
+        toks = _find_tokens_sharded(
+            jax.device_put(blocks_np, row_spec),
+            jax.device_put(lens_np, vec_spec),
+            jax.device_put(hist_np, vec_spec),
+            mesh=mesh, k=k, lazy=lazy, hist=hist,
+        )
+        # The only cross-device data dependence: per-block histograms to the
+        # host (286+30 ints per block) for code construction + mode choice.
+        ll_hists = np.asarray(jax.device_get(toks["ll_hist"]))
+        dist_hists = np.asarray(jax.device_get(toks["dist_hist"]))
+        modes, headers, (ll_lens_b, ll_codes_b, d_lens_b, d_codes_b) = (
+            dd._tables_for_group(ll_hists, dist_hists, lens_np)
+        )
+
+        words_b, bits_b = _pack_tokens_sharded(
+            toks,
+            jax.device_put(ll_lens_b, row_spec),
+            jax.device_put(ll_codes_b, row_spec),
+            jax.device_put(d_lens_b, row_spec),
+            jax.device_put(d_codes_b, row_spec),
+            mesh=mesh,
+        )
+        words_np = np.asarray(jax.device_get(words_b)).astype("<u4")
+        bits_np = np.asarray(jax.device_get(bits_b))
+
+        for j in range(greal):
+            b = bi + j
+            blen = int(lens_np[j])
+            raw = padded[hist + b * block_size : hist + b * block_size + blen]
+            dd._append_block(out, modes[j], headers[j], words_np[j],
+                             int(bits_np[j]), raw, blen, b == nblocks - 1)
+        bi += greal
     return bytes(out.out)
+
+
+# ---------------------------------------------------------------------------
+# Block-parallel container checksums (device compute + host GF(2)/mod combine)
+# ---------------------------------------------------------------------------
+
+_CK_BLOCK = 1 << 20  # 1 MiB checksum rows
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _crc_blocks_sharded(rows, lens, *, mesh: Mesh):
+    def per_shard(rows_l, lens_l):
+        return cks._crc32_blocks_raw(rows_l, lens_l)
+
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)), out_specs=P(AXIS),
+    )(rows, lens)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _adler_blocks_sharded(rows, lens, *, mesh: Mesh):
+    def per_shard(rows_l, lens_l):
+        return jax.vmap(cks._adler32_padded)(rows_l, lens_l)
+
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)), out_specs=P(AXIS),
+    )(rows, lens)
+
+
+def _checksum_rows(data: bytes, mesh: Mesh, block: int):
+    """(nrows_padded, block) uint8 rows + per-row lengths, mesh-padded."""
+    n_dev = mesh.devices.size
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    nrows = max(1, -(-n // block))
+    nrows_p = -(-nrows // n_dev) * n_dev
+    rows = np.zeros((nrows_p, block), np.uint8)
+    lens = np.zeros(nrows_p, np.int32)
+    for r in range(nrows):
+        seg = arr[r * block : (r + 1) * block]
+        rows[r, : len(seg)] = seg
+        lens[r] = len(seg)
+    return rows, lens, nrows
+
+
+def crc32_sharded(data: bytes, mesh: Mesh | None = None,
+                  block: int = _CK_BLOCK) -> int:
+    """Whole-payload CRC-32 computed block-parallel over the mesh: per-block
+    raw-space CRCs on device, GF(2) shift-combine on host (the machinery
+    ops.checksums.crc32_combine exists for — VERDICT r1 item 8)."""
+    if mesh is None:
+        mesh = default_mesh()
+    if len(data) == 0:
+        return 0
+    rows, lens, nrows = _checksum_rows(data, mesh, block)
+    raws = np.asarray(jax.device_get(_crc_blocks_sharded(
+        jax.device_put(rows, NamedSharding(mesh, P(AXIS, None))),
+        jax.device_put(lens, NamedSharding(mesh, P(AXIS))), mesh=mesh)))
+    crc = 0
+    for r in range(nrows):
+        blk = (cks.crc_shift_register(0xFFFFFFFF, int(lens[r]))
+               ^ int(raws[r]) ^ 0xFFFFFFFF)
+        crc = cks.crc32_combine(crc, blk, int(lens[r]))
+    return crc
+
+
+def adler32_sharded(data: bytes, mesh: Mesh | None = None,
+                    block: int = _CK_BLOCK) -> int:
+    """Whole-payload Adler-32, block-parallel: per-block adler on device,
+    adler32_combine on host."""
+    if mesh is None:
+        mesh = default_mesh()
+    if len(data) == 0:
+        return 1
+    rows, lens, nrows = _checksum_rows(data, mesh, block)
+    parts = np.asarray(jax.device_get(_adler_blocks_sharded(
+        jax.device_put(rows, NamedSharding(mesh, P(AXIS, None))),
+        jax.device_put(lens.astype(np.uint32), NamedSharding(mesh, P(AXIS))),
+        mesh=mesh)))
+    adler = 1
+    for r in range(nrows):
+        adler = cks.adler32_combine(adler, int(parts[r]), int(lens[r]))
+    return adler
 
 
 def compress_gzip_sharded(data: bytes, level: int = 1,
                           mesh: Mesh | None = None) -> bytes:
-    """gzip member whose deflate body is produced block-parallel."""
+    """gzip member whose deflate body AND trailer crc32 are produced
+    block-parallel over the mesh (input bytes are never re-scanned on host)."""
     import struct
 
-    from .. import native
-
+    if mesh is None:
+        mesh = default_mesh()
     body = deflate_sharded(data, level, mesh)
+    crc = crc32_sharded(data, mesh)
     header = struct.pack("<2sBBIBB", b"\x1f\x8b", 8, 0, 0, 0, 0)
-    trailer = struct.pack("<II", native.crc32(data), len(data) & 0xFFFFFFFF)
+    trailer = struct.pack("<II", crc, len(data) & 0xFFFFFFFF)
     return header + body + trailer
+
+
+def compress_zlib_sharded(data: bytes, level: int = 1,
+                          mesh: Mesh | None = None) -> bytes:
+    """zlib stream, block-parallel body + device adler32 trailer."""
+    import struct
+
+    if mesh is None:
+        mesh = default_mesh()
+    body = deflate_sharded(data, level, mesh)
+    adler = adler32_sharded(data, mesh)
+    cmf = (7 << 4) | 8
+    fcheck = (31 - (cmf * 256) % 31) % 31
+    return bytes([cmf, fcheck]) + body + struct.pack(">I", adler)
