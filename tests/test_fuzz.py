@@ -84,6 +84,36 @@ def test_stress_large_crosses_block_seam():
     assert zippy_tpu.uncompress(zlib.compress(data, 6), dfZlib) == data
 
 
+def test_fuzz_own_output_across_levels():
+    """Corrupt our OWN compressed bytes, then decode (reference
+    stress.nim:29-42): catches encoder-specific LUT/table edge cases that
+    fuzzing reference-produced fixtures cannot reach. Levels cover the
+    all-literals (-2), snappy (1), default (-1) and max (9) token producers."""
+    rng = random.Random(515)
+    base = bytes(range(256)) * 8
+    pieces = [base, b"the quick brown fox " * 200,
+              bytes(rng.randrange(256) for _ in range(4096))]
+    for level in (-2, 1, -1, 9):
+        for fmt in (dfGzip, dfZlib, dfDeflate):
+            blob = bytearray(
+                zippy_tpu.compress(b"".join(pieces), level, fmt))
+            for _ in range(max(ITERS // 4, 25)):
+                i = rng.randrange(len(blob))
+                old = blob[i]
+                blob[i] ^= 1 << rng.randrange(8)
+                try:
+                    zippy_tpu.uncompress(bytes(blob), fmt)
+                except ZippyError:
+                    pass
+                blob[i] = old
+                # and truncation of own output (stress.nim truncate leg)
+                cut = rng.randrange(len(blob))
+                try:
+                    zippy_tpu.uncompress(bytes(blob[:cut]), fmt)
+                except ZippyError:
+                    pass
+
+
 def test_lying_isize_one_bit_literals():
     """Regression: a stream of 1-bit literal codes emits ~84 bytes per
     refill; with a lying (tiny) ISIZE pre-sizing the buffer, the fast-loop

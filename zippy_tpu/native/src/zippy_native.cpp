@@ -1147,7 +1147,7 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
                        hh3[256] = {0};
   size_t pos = start, lit_start = start;
   uint32_t streak = 0;  // consecutive probes without a match
-  uint32_t gear = 1;    // skip growth per miss (8 on incompressible input)
+  uint32_t gear = 1;    // skip growth per miss (16 on incompressible input)
   if (pos + kMinMatch <= end) {
     uint32_t skip = 32;
     uint32_t next_v = read32(src + pos);
