@@ -34,12 +34,25 @@ def initialize(coordinator_address: str | None = None,
     )
 
 
-def compress_gzip_all_hosts(local_data: bytes, level: int = 1) -> bytes:
+def compress_gzip_all_hosts(local_data: bytes, level: int = 1,
+                            engine: str = "native") -> bytes:
     """Compress each process's shard; return the concatenated multi-member
-    gzip stream (identical on every process after one DCN all-gather)."""
+    gzip stream (identical on every process after one DCN all-gather).
+
+    engine="native" runs the host codec per process; engine="device" runs
+    the block-parallel device pipeline over THIS process's local chips
+    (parallel.blocks under shard_map), so the multi-host layer composes
+    with the multi-chip layer: ICI parallelism inside each member, one DCN
+    all-gather across members."""
     import jax
 
-    member = native.gzip_compress(local_data, level)
+    if engine == "device":
+        from . import blocks
+
+        mesh = blocks.Mesh(np.array(jax.local_devices()), (blocks.AXIS,))
+        member = blocks.compress_gzip_sharded(local_data, level, mesh)
+    else:
+        member = native.gzip_compress(local_data, level)
 
     if jax.process_count() == 1:
         return member
