@@ -58,6 +58,48 @@ def main() -> None:
         dt = _bench(fn, buf)
         results.append((f"device_{name}", nbytes / dt / 1e9))
 
+    # Device-parallel inflate (ops/inflate_device.py): fused single-dispatch
+    # decode with inputs pre-placed in HBM (index built once on host).
+    # Roofline note: per output byte the kernel moves ~4 B LUT-gather + ~26 B
+    # resolve traffic (3x int32 scatter/cummax/span arrays + log-depth
+    # pointer-doubling gathers at 4 B/hop) => ~30-40 B HBM traffic/byte; at
+    # v5e's ~819 GB/s HBM that bounds decode at ~20-27 GB/s. Measured
+    # numbers land within ~2x of that bound (gathers are random-access).
+    import zlib as _zlib
+
+    from zippy_tpu.ops import inflate_device as idev
+
+    for label, raw_src in (("urls", raw := open(
+            "/root/reference/tests/data/urls.10K", "rb").read()),
+            ("4mib", (raw * 6)[: 4 << 20])):
+        blob = _zlib.compress(raw_src, 6)[2:-4]
+        idx = idev.build_decode_index(blob)
+        total = idx["total_out"]
+        seg = idx["segments"]; nseg = seg.shape[0]
+        out_pad = idev._pad_pow2(total)
+        nseg_pad = idev._pad_pow2(max(nseg, 1), 8)
+        seg_pack = np.zeros((3, nseg_pad), np.int32)
+        seg_outv = np.zeros(nseg_pad, np.int32)
+        seg_pack[0, :nseg] = seg[:, 0]
+        seg_pack[1, :nseg] = seg[:, 2]
+        seg_pack[2, :nseg] = seg[:, 3]
+        seg_outv[:nseg] = seg[:, 1]
+        sto_pack = np.zeros((3, 4), np.int32)
+        sto_pack[1] = out_pad
+        lens8 = idx["block_lens"]
+        wbuf = np.frombuffer(blob + b"\x00" * (12 - len(blob) % 4), np.uint32)
+        args = [jnp.asarray(a) for a in
+                (wbuf, seg_pack, seg_outv, lens8, sto_pack)]
+        jax.block_until_ready(args)
+        k = int(idx["every"])
+        rounds = idev._rounds(idx)
+        fn = lambda *a: idev._decode(*a, k=k, out_pad=out_pad, rounds=rounds)
+        out = fn(*args)
+        got = bytes(np.asarray(out)[:total].tobytes())
+        assert got == raw_src, "device inflate mismatch"
+        dt = _bench(fn, *args)
+        results.append((f"device_inflate_{label}", total / dt / 1e9))
+
     # Batched block compress (fixed-Huffman pipeline, the fused jittable
     # step __graft_entry__ exposes): 64 x 64 KiB = 4 MiB per dispatch.
     # Larger batches exceed HBM (the match-scoring intermediate is

@@ -49,6 +49,13 @@ def compress(
     deflate body and the trailer checksum both run on the accelerator
     (engine auto-routing by residency); only framing happens on host.
     """
+    # Fast path for the hot raw-deflate bytes case: microsecond inputs
+    # (reference does randtest3 L1 in ~5 us; every Python frame counts).
+    if (data_format is dfDeflate and type(src) is bytes
+            and engine_name != "device"):
+        check_level(level)
+        return native.deflate(src, level)
+
     check_level(level)
     on_device = engine.is_device_array(src)
     data = src if on_device else _to_bytes(src)

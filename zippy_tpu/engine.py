@@ -31,6 +31,8 @@ def device_available() -> bool:
 def is_device_array(x) -> bool:
     """True for a jax.Array (device-resident buffer), False for host bytes
     and numpy arrays."""
+    if type(x) in (bytes, bytearray, memoryview, str):
+        return False
     try:
         import jax
 

@@ -217,7 +217,9 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
     the device-parallel inflate; see ops/inflate_device.py). Returns numpy
     arrays: segments [nseg,4] (bit_offset, out_offset, block_id, ntok),
     stored [nsto,3] (src_byte, out_offset, len), block_lens [nblk,318]
-    (litlen 288 + dist 30 code lengths), total_out, end_bit."""
+    (litlen 288 + dist 30 code lengths), total_out, end_bit, max_depth
+    (copy-nesting depth bound at 1 KiB granularity — sizes the device
+    resolver's fixed pointer-doubling trip count)."""
     if _pyzt is None:  # pragma: no cover - ctypes fallback lacks the scanner
         raise ZippyError("device decode index requires the native extension")
     seg_cap = max(1024, 2 * len(data) // max(every, 1))
@@ -226,7 +228,7 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
         seg = bytearray(seg_cap * 32)
         sto = bytearray(sto_cap * 24)
         lens = bytearray(blk_cap * 318)
-        counts = bytearray(5 * 8)
+        counts = bytearray(6 * 8)
         rc = _pyzt.inflate_scan(data, start_bit, every, seg, sto, lens, counts)
         c = np.frombuffer(counts, dtype=np.int64)
         if rc == 0:
@@ -240,6 +242,7 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
                               .reshape(-1, 318)[:nblk].copy(),
                 "total_out": int(c[3]),
                 "end_bit": int(c[4]),
+                "max_depth": int(c[5]),
                 "every": every,
             }
         if rc == -2:  # caps exceeded; counts carry the exact sizes

@@ -404,7 +404,7 @@ PyObject* py_uncompress_auto(PyObject* self, PyObject* const* args,
 // inflate_scan(data, start_bit, every, seg_buf, sto_buf, lens_buf, counts_buf)
 //   -> rc (0 ok, -1 malformed, -2 caps exceeded — counts filled, retry sized).
 // Buffers are writable bytes-like (bytearray): seg int64[cap][4],
-// sto int64[cap][3], lens uint8[cap][318], counts int64[5]. The decode-index
+// sto int64[cap][3], lens uint8[cap][318], counts int64[6]. The decode-index
 // scan for device-parallel inflate (ops/inflate_device.py).
 PyObject* py_inflate_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   if (nargs != 7)
@@ -434,7 +434,7 @@ PyObject* py_inflate_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return nullptr;
   }
   int64_t rc;
-  if ((size_t)counts.len < 5 * sizeof(int64_t)) {
+  if ((size_t)counts.len < 6 * sizeof(int64_t)) {
     rc = -1;
     PyErr_SetString(PyExc_ValueError, "counts buffer too small");
   } else {

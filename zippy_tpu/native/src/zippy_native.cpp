@@ -2291,6 +2291,16 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
   size_t nseg = 0, nsto = 0, nblk = 0;
   bool final_block = false;
   HuffDecoder dyn_litlen, dyn_dist;
+  // Exact per-byte copy-nesting depth over a rolling 32 KiB window (sources
+  // never reach further back). The device LZ resolver collapses intra-span
+  // chains in closed form, so a match's effective source range is
+  // [op-dist, op-dist+min(dist,len)) — at most 258 bytes — and its bytes'
+  // depth is 1 + the source byte's depth; the device then runs exactly
+  // ceil(log2(max_depth)) fixed pointer-doubling hops (a lax.while_loop
+  // convergence check syncs the host every iteration on remote TPU
+  // dispatch — measured 145 ms vs 0.06 ms for the whole decode on v5e).
+  std::vector<uint16_t> depth_win(kWindow, 0);
+  int32_t max_depth = 0;
 
   while (!final_block) {
     if (br.overrun()) return ZT_ERR_MALFORMED;
@@ -2310,6 +2320,12 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
         sto[nsto * 3 + 2] = (int64_t)len;
       }
       nsto++;
+      if (len >= kWindow) {
+        std::fill(depth_win.begin(), depth_win.end(), 0);
+      } else {
+        for (size_t o = op; o < op + len; o++)
+          depth_win[o & (kWindow - 1)] = 0;  // stored bytes: depth 0
+      }
       op += len;
       br.byte_pos = cur + len;
       br.buf = 0;
@@ -2394,6 +2410,7 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       if (nseg - 1 < seg_cap) seg[(nseg - 1) * 4 + 3]++;
       tok_in_seg++;
       if (sym < 256) {
+        depth_win[op & (kWindow - 1)] = 0;  // literal: depth 0
         op++;
         continue;
       }
@@ -2403,6 +2420,23 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
       uint32_t distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
       if (distance > op) return ZT_ERR_MALFORMED;
+      {
+        // With the device resolver's closed-form overlap handling, byte
+        // o of the span hops once to source byte s_lo + (o mod n_src), so
+        // its depth is exactly that byte's depth + 1 (cyclic source walk;
+        // rare ring aliasing at dist ~ window reads the just-written value
+        // and only over-estimates).
+        size_t s_lo = op - distance;
+        size_t n_src = std::min<size_t>(distance, length);
+        size_t x = 0;
+        for (size_t o = op; o < op + length; o++) {
+          uint32_t d = depth_win[(s_lo + x) & (kWindow - 1)] + 1u;
+          if (++x == n_src) x = 0;
+          uint16_t d16 = (uint16_t)std::min<uint32_t>(d, 0xFFFF);
+          depth_win[o & (kWindow - 1)] = d16;
+          if ((int32_t)d16 > max_depth) max_depth = d16;
+        }
+      }
       op += length;
     }
   }
@@ -2412,6 +2446,7 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
   counts[2] = (int64_t)nblk;
   counts[3] = (int64_t)op;
   counts[4] = (int64_t)br.consumed();
+  counts[5] = (int64_t)max_depth;
   if (nseg > seg_cap || nsto > sto_cap || nblk > blk_cap)
     return ZT_ERR_DST_FULL;
   return 0;

@@ -6,19 +6,30 @@ be vectorized directly. This module implements the index-based parallel
 decode the retrieved literature prescribes (PAPERS.md: rapidgzip,
 "Massively-Parallel Lossless Data Decompression", GPU Huffman): a one-time
 host scan (native inflate_scan) records a checkpoint every K tokens, then
-the device decodes ALL segments concurrently:
+the device decodes ALL segments concurrently in ONE fused XLA dispatch:
 
-1. Token extraction — every segment is a vector lane; each of the K steps
+1. Decode-table build — per-block canonical Huffman LUTs are built ON
+   DEVICE from the 318 code lengths the index carries: canonical codes via
+   rank-within-length, then a scatter of (start<<9|sym) keys into 15-bit
+   MSB code space, cummax forward-fill, and a static bit-reversal
+   permutation into LSB window order. This keeps the index tiny (318 B per
+   block) and avoids shipping 256 KiB of LUT per block over the host link.
+
+2. Token extraction — every segment is a vector lane; each of the K steps
    decodes one symbol per lane with a full 15-bit LUT gather (no slow path:
-   the LUT covers every legal code length, 32K entries x 4 B per block).
-   Length/distance extra bits are folded into the same windowed read.
+   the LUT covers every legal code length). Length/distance extra bits are
+   folded into the same windowed read; the step result packs
+   (out_len, literal-or-dist) into one int32 row so the loop carries a
+   single array.
 
-2. LZ resolution — tokens scatter their output spans' metadata; per-byte
-   source indices S[j] (j for literals, j - dist for match bytes) resolve
-   through chained back-references by pointer doubling (S <- S[S]), which
-   converges in O(log out_len) gather rounds no matter how deep copies nest
-   (a dist-1 run of length L is an L-deep chain yet resolves in log2(L)
-   rounds). Stored blocks read their bytes straight from the source words.
+3. LZ resolution — tokens scatter their spans' metadata; per-byte source
+   indices resolve through chained back-references by pointer doubling
+   (S <- S[S]). Overlapping copies (dist < len, e.g. run-length fills)
+   never chase at all: their bytes use the closed form
+   src = span_start - dist + (offset mod dist), so chains only hop across
+   distinct tokens and the doubling converges in log2(cross-token nesting
+   depth) gather rounds (~7-12 on real corpora). Stored blocks read their
+   bytes straight from the source words.
 
 The bitstream itself stays standard RFC 1951 — the index is auxiliary, so
 any gzip/zlib stream gains device decode after one host scan (the rapidgzip
@@ -44,8 +55,15 @@ from ..common import ZippyError
 _U32 = jnp.uint32
 _MASK15 = np.uint32(0x7FFF)
 
+# Default tokens-per-segment checkpoint spacing. Token extraction runs K
+# sequential steps over nseg parallel lanes; the TPU is wide and
+# latency-bound here, so small K / many lanes wins (measured on v5e:
+# K=32 is ~4x faster than K=256 on urls.10K-class streams). Index cost is
+# 32 B per segment.
+_EVERY = 32
+
 # ---------------------------------------------------------------------------
-# Host: full 15-bit decode LUTs from code lengths
+# RFC 1951 constant tables (format-dictated)
 # ---------------------------------------------------------------------------
 
 _LENGTH_BASE = np.array(
@@ -62,73 +80,77 @@ _DIST_EXTRA = np.array(
     [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10,
      10, 11, 11, 12, 12, 13, 13], dtype=np.uint32)
 
-
-def _canonical_codes(lens: np.ndarray) -> np.ndarray:
-    """Canonical MSB-first codes for the given code lengths (RFC 1951)."""
-    codes = np.zeros(len(lens), dtype=np.uint32)
-    code = 0
-    count = np.bincount(lens, minlength=16)
-    next_code = np.zeros(16, dtype=np.uint32)
-    for l in range(1, 16):
-        code = (code + count[l - 1]) << 1
-        next_code[l] = code
-    for sym, l in enumerate(lens):
-        if l:
-            codes[sym] = next_code[l]
-            next_code[l] += 1
-    return codes
+# Per-symbol packed litlen entries, minus the code-length bits (added on
+# device from the block's lens): bit5 literal flag, bits8-15 literal byte,
+# bits16-24 length base, bits25-27 length extra count.
+_LL_ENT = np.zeros(288, dtype=np.uint32)
+_LL_ENT[:256] = (1 << 5) | (np.arange(256, dtype=np.uint32) << 8)
+_LL_ENT[257:286] = (_LENGTH_BASE << 16) | (_LENGTH_EXTRA << 25)
+# dist entries: bits5-8 extra count, bits16-30 base-1.
+_D_ENT = (_DIST_EXTRA << 5) | ((_DIST_BASE - 1) << 16)
 
 
-def _reverse_bits(v: int, n: int) -> int:
-    r = 0
-    for _ in range(n):
-        r = (r << 1) | (v & 1)
-        v >>= 1
-    return r
+def _rev15(x: jnp.ndarray) -> jnp.ndarray:
+    """Bit-reverse the low 15 bits (reverse 16, shift right one)."""
+    x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+    x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+    x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+    x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+    return x >> 1
 
 
-def _fill_lut(lens: np.ndarray, entries: np.ndarray) -> np.ndarray:
-    """32768-entry LSB-first LUT: lut[window & 0x7FFF] = packed entry."""
-    lut = np.zeros(1 << 15, dtype=np.uint32)
-    codes = _canonical_codes(lens)
-    for sym, l in enumerate(lens):
-        if not l:
-            continue
-        rev = _reverse_bits(int(codes[sym]), int(l))
-        lut[rev::1 << int(l)] = entries[sym]
-    return lut
+def _canonical_device(lens: jnp.ndarray) -> jnp.ndarray:
+    """Canonical MSB-first codes for one block's code lengths, on device
+    (RFC 1951 3.2.2; reference builds the same table scalar-serially,
+    inflate.nim:24-66). lens int32[S] -> codes int32[S]."""
+    oh = (lens[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :])
+    count = jnp.sum(oh.astype(jnp.int32), axis=0)  # [16], count[0] unused
+    firsts = [jnp.int32(0), jnp.int32(0)]  # first_code for lengths 0,1
+    for bits in range(2, 16):
+        firsts.append((firsts[bits - 1] + count[bits - 1]) << 1)
+    first = jnp.stack(firsts)  # [16]
+    rank = (jnp.cumsum(oh.astype(jnp.int32), axis=0) - oh.astype(jnp.int32))
+    rank_s = jnp.take_along_axis(rank, lens[:, None], axis=1)[:, 0]
+    return first[lens] + rank_s
 
 
-def build_decode_luts(block_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-block (litlen, dist) decode LUTs from scanner records [nblk, 318].
+_REVPERM = _rev15(np.arange(1 << 15, dtype=np.int32))  # static permutation
 
-    litlen entry: bits0-4 code_len, bit5 literal flag, bits8-15 literal byte,
-    bits16-24 length base, bits25-27 length extra count.
-    dist entry: bits0-4 code_len, bits5-8 extra count, bits16-30 base-1.
-    """
-    nblk = block_lens.shape[0]
-    ll_luts = np.zeros((nblk, 1 << 15), dtype=np.uint32)
-    d_luts = np.zeros((nblk, 1 << 15), dtype=np.uint32)
-    for b in range(nblk):
-        ll = block_lens[b, :288].astype(np.int64)
-        dd = block_lens[b, 288:318].astype(np.int64)
-        ent = np.zeros(288, dtype=np.uint32)
-        syms = np.arange(288)
-        lit = syms < 256
-        ent[lit] = ll[lit] | (1 << 5) | (syms[lit].astype(np.uint32) << 8)
-        ent[256] = ll[256]  # EOB: never decoded (segments exclude it)
-        lsyms = syms[(syms >= 257) & (syms <= 285)]
-        li = lsyms - 257
-        ent[lsyms] = (ll[lsyms]
-                      | (_LENGTH_BASE[li] << 16) | (_LENGTH_EXTRA[li] << 25))
-        ll_luts[b] = _fill_lut(ll, ent)
-        dent = (dd | (_DIST_EXTRA << 5) | ((_DIST_BASE - 1) << 16))
-        d_luts[b] = _fill_lut(dd, dent.astype(np.uint32))
-    return ll_luts, d_luts
+
+def _lut_from_lens(lens: jnp.ndarray, ent_nolen: jnp.ndarray) -> jnp.ndarray:
+    """32768-entry LSB-first decode LUT for one block's table.
+
+    Canonical prefix codes partition 15-bit MSB code space into intervals
+    [code<<(15-len), (code+1)<<(15-len)); scatter a monotone
+    (start<<9 | sym) key at each interval start, cummax-fill forward, then
+    permute into LSB window order with the static 15-bit reversal."""
+    S = lens.shape[0]
+    codes = _canonical_device(lens)
+    start = codes << (15 - lens)
+    pos = jnp.where(lens > 0, start, 1 << 20)  # invalid syms -> dropped
+    key = (start << 9) | jnp.arange(S, dtype=jnp.int32)
+    filled = jax.lax.cummax(
+        jnp.zeros(1 << 15, dtype=jnp.int32).at[pos].set(
+            key, mode="drop", unique_indices=True))
+    sym_msb = filled & 511
+    sym_lsb = sym_msb[_REVPERM]
+    ent = ent_nolen | lens.astype(jnp.uint32)
+    return ent[jnp.clip(sym_lsb, 0, S - 1)]
+
+
+def _build_luts(lens8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-block (litlen, dist) LUTs [nblk, 32768] uint32 from the scanner's
+    code-length records [nblk, 318] uint8, entirely on device."""
+    lens = lens8.astype(jnp.int32)
+    ll = jax.vmap(lambda l: _lut_from_lens(l, jnp.asarray(_LL_ENT)))(
+        lens[:, :288])
+    dd = jax.vmap(lambda l: _lut_from_lens(l, jnp.asarray(_D_ENT)))(
+        lens[:, 288:318])
+    return ll, dd
 
 
 # ---------------------------------------------------------------------------
-# Device: phase A — parallel token extraction
+# Fused device decode: LUT build + token extraction + LZ resolution
 # ---------------------------------------------------------------------------
 
 def _read_window(words: jnp.ndarray, bitpos: jnp.ndarray) -> jnp.ndarray:
@@ -141,24 +163,20 @@ def _read_window(words: jnp.ndarray, bitpos: jnp.ndarray) -> jnp.ndarray:
     return (w0 >> sh) | hi
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def extract_tokens(words, seg_bit, seg_block, seg_ntok, ll_luts, d_luts, *,
-                   k: int):
+def _extract(words, seg_bit, seg_block, seg_ntok, ll_luts, d_luts, k: int):
     """Decode up to k tokens per segment, all segments in parallel.
 
-    Returns (out_len, litbyte, dist) each [nseg, k] int32; invalid slots
-    (i >= ntok) have out_len 0.
+    Returns packed int32 [k, nseg]: bits16-24 out_len, low 16 bits are the
+    literal byte (< 256) or dist+256; invalid slots (i >= ntok) are 0.
     """
     nseg = seg_bit.shape[0]
     # [k, nseg] layout: the per-step update writes one contiguous ROW
     # (a strided column update would materialize a copy of the whole array
     # every iteration).
-    out_len = jnp.zeros((k, nseg), dtype=jnp.int32)
-    litbyte = jnp.zeros((k, nseg), dtype=jnp.int32)
-    dists = jnp.zeros((k, nseg), dtype=jnp.int32)
+    packed = jnp.zeros((k, nseg), dtype=jnp.int32)
 
     def step(i, carry):
-        bit, out_len, litbyte, dists = carry
+        bit, packed = carry
         active = i < seg_ntok
         win = _read_window(words, bit)
         e = ll_luts[seg_block, (win & _MASK15).astype(jnp.int32)]
@@ -177,27 +195,25 @@ def extract_tokens(words, seg_bit, seg_block, seg_ntok, ll_luts, d_luts, *,
         dist = dbase + ((win2 >> dcl) & ((_U32(1) << dx) - 1)).astype(jnp.int32)
         nbit = jnp.where(is_lit, bit + cl.astype(jnp.int32),
                          bit2 + (dcl + dx).astype(jnp.int32))
-        olen = jnp.where(is_lit, 1, length)
-        dd = jnp.where(is_lit, 0, dist)
-        out_len = out_len.at[i].set(jnp.where(active, olen, 0))
-        litbyte = litbyte.at[i].set(jnp.where(active & is_lit, lb, 0))
-        dists = dists.at[i].set(jnp.where(active, dd, 0))
+        val = jnp.where(is_lit, (1 << 16) | lb,
+                        (length << 16) | (dist + 256))
+        packed = packed.at[i].set(jnp.where(active, val, 0))
         bit = jnp.where(active, nbit, bit)
-        return bit, out_len, litbyte, dists
+        return bit, packed
 
-    _, out_len, litbyte, dists = jax.lax.fori_loop(
-        0, k, step, (seg_bit.astype(jnp.int32), out_len, litbyte, dists))
-    return out_len.T, litbyte.T, dists.T
+    _, packed = jax.lax.fori_loop(
+        0, k, step, (seg_bit.astype(jnp.int32), packed))
+    return packed
 
 
-# ---------------------------------------------------------------------------
-# Device: phase B — LZ resolution by pointer doubling
-# ---------------------------------------------------------------------------
-
-@functools.partial(jax.jit, static_argnames=("out_pad",))
-def resolve_lz(out_len, litbyte, dists, seg_out, words, sto_src, sto_out,
-               sto_len, *, out_pad: int):
+def _resolve(packed, seg_out, words, sto_src, sto_out, sto_len,
+             out_pad: int, rounds: int):
     """Materialize output bytes from extracted tokens + stored spans."""
+    out_len = (packed >> 16).T  # [nseg, k]
+    low = (packed & 0xFFFF).T
+    dists = jnp.where(low >= 256, low - 256, 0)
+    litbyte = jnp.where(low < 256, low, 0)
+
     # Token output start positions (exact: per-segment base from the index).
     starts = seg_out[:, None].astype(jnp.int32) + (
         jnp.cumsum(out_len, axis=1) - out_len)
@@ -234,33 +250,61 @@ def resolve_lz(out_len, litbyte, dists, seg_out, words, sto_src, sto_out,
         sbyte = jnp.zeros(out_pad, dtype=jnp.int32)
 
     is_literal = in_sto | (dist_span == 0)
-    src_ix = jnp.where(is_literal, j, j - dist_span)
+    # Overlapping copies (dist < len) resolve in closed form: byte at span
+    # offset o reads span_start - d + (o mod d), which collapses the whole
+    # intra-span chain (a dist-1 run of any length resolves in ZERO hops).
+    # Remaining chains only hop across distinct tokens.
+    o = j - span_start
+    d_safe = jnp.maximum(dist_span, 1)
+    # minimum(src, j) guarantees every pointer is a fixpoint or strictly
+    # decreasing, so doubling cannot cycle even on a corrupt index.
+    src_ix = jnp.minimum(
+        jnp.where(is_literal, j, span_start - dist_span + o % d_safe), j)
     lit_val = jnp.where(in_sto, sbyte, lit_at[span_start]).astype(jnp.uint8)
 
     # Pointer doubling: S <- S[S] until every byte points at a literal.
-    # Convergence is guaranteed — match bytes satisfy S[j] < j strictly
-    # (the scan validated dist <= op), literals are fixpoints — and chains
-    # halve per hop, so rounds = ceil(log2(max copy-nesting depth)).
-    # Each round is one 4M-class random gather (the cost floor on TPU);
-    # two hops per round halve the loop/convergence-check overhead.
-    def cond(state):
-        src_ix, done = state
-        return ~done
-
-    def body(state):
-        src_ix, _ = state
-        s2 = src_ix[src_ix]
-        s4 = s2[s2]
-        return s4, jnp.all(s4 == s2)
-
-    src_ix, _ = jax.lax.while_loop(
-        cond, body, (src_ix, jnp.array(False)))
+    # Convergence is guaranteed — match bytes satisfy S[j] <= j (clamped),
+    # literals are fixpoints — and chains halve per hop, so the scanner's
+    # max_depth bound sizes a FIXED trip count (`rounds` ~ log2(depth)).
+    # A data-dependent while_loop convergence check is 2500x slower here:
+    # on remote TPU dispatch every cond evaluation syncs the host (~18 ms),
+    # measured 145 ms vs 0.06 ms for the whole urls.10K decode on v5e.
+    src_ix = jax.lax.fori_loop(0, rounds, lambda i, s: s[s], src_ix)
     return lit_val[src_ix]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "out_pad", "rounds"))
+def _decode(words, seg_pack, seg_out, lens8, sto_pack, *, k: int,
+            out_pad: int, rounds: int):
+    """One fused dispatch: device LUT build + extraction + LZ resolution.
+
+    seg_pack int32[3, nseg] rows (bit, block, ntok); sto_pack
+    int32[3, nsto] rows (src, out, len). `rounds` is the fixed
+    pointer-doubling trip count (from the scanner's max_depth, quantized
+    so the jit cache stays small)."""
+    ll_luts, d_luts = _build_luts(lens8)
+    packed = _extract(words, seg_pack[0], seg_pack[1], seg_pack[2],
+                      ll_luts, d_luts, k)
+    return _resolve(packed, seg_out, words, sto_pack[0], sto_pack[1],
+                    sto_pack[2], out_pad, rounds)
 
 
 # ---------------------------------------------------------------------------
 # Orchestration
 # ---------------------------------------------------------------------------
+
+def _rounds(index) -> int:
+    """Fixed pointer-doubling trip count for a stream: enough hops to
+    resolve the scanner's (conservative) max copy-nesting depth, quantized
+    to {4, 8, 16, 31} so each bucket is one cached executable."""
+    depth = int(index.get("max_depth", 1 << 16))
+    if depth >= 0xFFFF:  # scanner's u16 depth saturated: depth unknown
+        return 31
+    for r in (4, 8, 16):
+        if depth <= (1 << r):
+            return r
+    return 31
+
 
 def _pad_pow2(n: int, lo: int = 256) -> int:
     p = lo
@@ -269,14 +313,14 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
     return p
 
 
-def build_decode_index(data: bytes, start_bit: int = 0, every: int = 256):
+def build_decode_index(data: bytes, start_bit: int = 0, every: int = _EVERY):
     """One-time host scan producing the device decode index for a raw
     DEFLATE stream (any producer — ours, zlib, zippy)."""
     return native.inflate_scan(data, start_bit, every)
 
 
 def inflate_device(data: bytes, index=None, start_bit: int = 0,
-                   mesh=None) -> bytes:
+                   mesh=None):
     """Decode a raw DEFLATE stream on the device. `index` is the result of
     build_decode_index (scanned on the fly when omitted).
 
@@ -285,6 +329,16 @@ def inflate_device(data: bytes, index=None, start_bit: int = 0,
     one shard per device with no communication; XLA inserts the collectives
     the global LZ-resolution gathers need. N-device output is byte-identical
     to 1-device (the multi-chip gate, SURVEY §4)."""
+    out, total_out = inflate_device_array(data, index, start_bit, mesh)
+    if total_out == 0:
+        return b""
+    return bytes(np.asarray(out)[:total_out].tobytes())
+
+
+def inflate_device_array(data: bytes, index=None, start_bit: int = 0,
+                         mesh=None):
+    """Like inflate_device but returns (jax.Array[out_pad] uint8, total_out)
+    without fetching to host — the device-resident decode surface."""
     if index is None:
         index = build_decode_index(data, start_bit)
     total_out = index["total_out"]
@@ -294,67 +348,60 @@ def inflate_device(data: bytes, index=None, start_bit: int = 0,
         raise ZippyError(
             "Input too large for device decode (int32 offset range)")
     if total_out == 0:
-        return b""
+        return None, 0
     seg = index["segments"]
     sto = index["stored"]
     k = int(index["every"])
 
     buf = np.frombuffer(data + b"\x00" * (12 - len(data) % 4), dtype=np.uint32)
-    words = jnp.asarray(buf)
 
     nseg = seg.shape[0]
     out_pad = _pad_pow2(total_out)
+    lanes = max(8, mesh.devices.size if mesh is not None else 8)
+    nseg_pad = _pad_pow2(max(nseg, 1), lanes)
+    seg_pack = np.zeros((3, nseg_pad), dtype=np.int32)
+    seg_outv = np.zeros(nseg_pad, dtype=np.int32)
     if nseg:
-        lanes = max(8, mesh.devices.size if mesh is not None else 8)
-        nseg_pad = _pad_pow2(nseg, lanes)
-        seg_bit = np.zeros(nseg_pad, dtype=np.int32)
-        seg_outv = np.zeros(nseg_pad, dtype=np.int32)
-        seg_blk = np.zeros(nseg_pad, dtype=np.int32)
-        seg_ntok = np.zeros(nseg_pad, dtype=np.int32)
-        seg_bit[:nseg] = seg[:, 0]
+        seg_pack[0, :nseg] = seg[:, 0]
+        seg_pack[1, :nseg] = seg[:, 2]
+        seg_pack[2, :nseg] = seg[:, 3]
         seg_outv[:nseg] = seg[:, 1]
-        seg_blk[:nseg] = seg[:, 2]
-        seg_ntok[:nseg] = seg[:, 3]
-        ll_luts, d_luts = build_decode_luts(index["block_lens"])
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            axis = mesh.axis_names[0]
-            shard = NamedSharding(mesh, P(axis))
-            rep = NamedSharding(mesh, P())
-            place_seg = lambda a: jax.device_put(jnp.asarray(a), shard)
-            place_rep = lambda a: jax.device_put(jnp.asarray(a), rep)
-        else:
-            place_seg = place_rep = jnp.asarray
-        out_len, litbyte, dists = extract_tokens(
-            place_rep(words), place_seg(seg_bit), place_seg(seg_blk),
-            place_seg(seg_ntok), place_rep(ll_luts), place_rep(d_luts),
-            k=k)
-        words = place_rep(words)
-        seg_out_dev = place_seg(seg_outv)
-    else:
-        out_len = jnp.zeros((1, 1), dtype=jnp.int32)
-        litbyte = jnp.zeros((1, 1), dtype=jnp.int32)
-        dists = jnp.zeros((1, 1), dtype=jnp.int32)
-        seg_out_dev = jnp.asarray(np.array([out_pad], dtype=np.int32))
 
     nsto = sto.shape[0]
+    nsto_pad = _pad_pow2(max(nsto, 1), 4)
+    sto_pack = np.zeros((3, nsto_pad), dtype=np.int32)
+    sto_pack[1] = out_pad  # empty slots sort past every output byte
     if nsto:
-        nsto_pad = _pad_pow2(nsto, 4)
-        sto_src = np.zeros(nsto_pad, dtype=np.int32)
-        sto_out = np.full(nsto_pad, out_pad, dtype=np.int32)
-        sto_len = np.zeros(nsto_pad, dtype=np.int32)
-        sto_src[:nsto] = sto[:, 0]
-        sto_out[:nsto] = sto[:, 1]
-        sto_len[:nsto] = sto[:, 2]
-        out = resolve_lz(out_len, litbyte, dists, seg_out_dev, words,
-                         jnp.asarray(sto_src), jnp.asarray(sto_out),
-                         jnp.asarray(sto_len), out_pad=out_pad)
+        sto_pack[0, :nsto] = sto[:, 0]
+        sto_pack[1, :nsto] = sto[:, 1]
+        sto_pack[2, :nsto] = sto[:, 2]
+
+    lens8 = index["block_lens"]
+    if lens8.shape[0] == 0:  # stored-only stream: keep LUT shapes non-empty
+        lens8 = np.zeros((1, 318), dtype=np.uint8)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        shard = NamedSharding(mesh, P(None, axis))
+        shard1 = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        words = jax.device_put(jnp.asarray(buf), rep)
+        seg_pack_d = jax.device_put(jnp.asarray(seg_pack), shard)
+        seg_out_d = jax.device_put(jnp.asarray(seg_outv), shard1)
+        lens8_d = jax.device_put(jnp.asarray(lens8), rep)
+        sto_pack_d = jax.device_put(jnp.asarray(sto_pack), rep)
     else:
-        z = jnp.zeros((0,), dtype=jnp.int32)
-        out = resolve_lz(out_len, litbyte, dists, seg_out_dev, words,
-                         z, z, z, out_pad=out_pad)
-    return bytes(np.asarray(out)[:total_out].tobytes())
+        words = jnp.asarray(buf)
+        seg_pack_d = jnp.asarray(seg_pack)
+        seg_out_d = jnp.asarray(seg_outv)
+        lens8_d = jnp.asarray(lens8)
+        sto_pack_d = jnp.asarray(sto_pack)
+
+    out = _decode(words, seg_pack_d, seg_out_d, lens8_d, sto_pack_d,
+                  k=k, out_pad=out_pad, rounds=_rounds(index))
+    return out, total_out
 
 
 def uncompress_zlib_device(blob: bytes, index=None) -> bytes:
