@@ -24,15 +24,26 @@ import numpy as np
 
 
 def _bench(fn, *args, reps: int = 20) -> float:
+    """Min single-call time over reps spread across two batches.
+
+    The chip is shared (other tenants' work queues ahead for seconds to
+    minutes), so a mean is hopeless; the min over spread samples estimates
+    the true kernel time. Two sleep-separated batches dodge a single busy
+    stretch."""
     import jax
 
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for batch in range(2):
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        if batch == 0:
+            time.sleep(2.0)
+    return best
 
 
 def main() -> None:
