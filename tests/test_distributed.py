@@ -50,19 +50,29 @@ def _free_port() -> int:
 def test_two_process_allgather_compress():
     import gzip as gz
 
-    coord = f"localhost:{_free_port()}"
     with tempfile.TemporaryDirectory() as outdir:
-        script = _WORKER.format(repo=str(REPO), coord=coord, outdir=outdir)
         env = {k: v for k, v in os.environ.items()
                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-        procs = [subprocess.Popen([sys.executable, "-c", script, str(r)],
-                                  env=env, cwd=outdir,
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.PIPE)
-                 for r in range(2)]
-        outs = [p.communicate(timeout=240) for p in procs]
-        for p, (so, se) in zip(procs, outs):
-            assert p.returncode == 0, se.decode()[-2000:]
+        # The port picked by _free_port can be stolen between close() and
+        # jax.distributed.initialize; retry the whole 2-rank launch on a
+        # fresh port if the coordinator fails to bind (ADVICE r2).
+        for attempt in range(3):
+            coord = f"localhost:{_free_port()}"
+            script = _WORKER.format(repo=str(REPO), coord=coord,
+                                    outdir=outdir)
+            procs = [subprocess.Popen([sys.executable, "-c", script, str(r)],
+                                      env=env, cwd=outdir,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE)
+                     for r in range(2)]
+            outs = [p.communicate(timeout=240) for p in procs]
+            if all(p.returncode == 0 for p in procs):
+                break
+            bind_raced = any(b"Address already in use" in se or
+                             b"Failed to bind" in se for _, se in outs)
+            if not (bind_raced and attempt < 2):
+                for p, (so, se) in zip(procs, outs):
+                    assert p.returncode == 0, se.decode()[-2000:]
 
         shards = [b"rank zero payload " * 4000, b"rank one payload! " * 3000]
         for engine in ("native", "device"):

@@ -52,7 +52,7 @@ def compress(
     # Fast path for the hot raw-deflate bytes case: microsecond inputs
     # (reference does randtest3 L1 in ~5 us; every Python frame counts).
     if (data_format is dfDeflate and type(src) is bytes
-            and engine_name != "device"):
+            and engine_name in ("auto", "native")):
         check_level(level)
         return native.deflate(src, level)
 

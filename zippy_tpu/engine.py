@@ -8,10 +8,20 @@ picks per call.
 from __future__ import annotations
 
 from . import native
+from .common import ZippyError
 
 # Inputs below this size stay on the host: kernel dispatch + transfer overhead
 # dominates any device win (axon host->device link measured ~0.2 GB/s).
 DEVICE_MIN_BYTES = 1 << 20
+
+_ENGINES = ("auto", "native", "device")
+
+
+def check_engine(engine: str) -> None:
+    """Reject typo'd engine names instead of silently routing to native."""
+    if engine not in _ENGINES:
+        raise ZippyError(f"unknown engine {engine!r}; expected one of "
+                         f"{_ENGINES}")
 
 _device_available: bool | None = None
 
@@ -51,6 +61,7 @@ def deflate(data, level: int, engine: str = "auto") -> bytes:
     setup) dominates any on-chip win. engine="device" forces the device
     pipeline for host bytes too; zippy_tpu.parallel adds multi-chip.
     """
+    check_engine(engine)
     if is_device_array(data):
         from .ops import deflate_device
 
@@ -76,6 +87,7 @@ def inflate(
     boundary scan, then concurrent segment decode + pointer-doubling LZ) —
     for device-resident serving and repeated decodes of an indexed stream.
     """
+    check_engine(engine)
     if engine == "device":
         from .ops import inflate_device
 
@@ -85,6 +97,7 @@ def inflate(
 
 
 def crc32(data, engine: str = "auto") -> int:
+    check_engine(engine)
     if is_device_array(data) or engine == "device" or (
         engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
     ):
@@ -95,6 +108,7 @@ def crc32(data, engine: str = "auto") -> int:
 
 
 def adler32(data, engine: str = "auto") -> int:
+    check_engine(engine)
     if is_device_array(data) or engine == "device" or (
         engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
     ):

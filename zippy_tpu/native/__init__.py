@@ -218,8 +218,9 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
     arrays: segments [nseg,4] (bit_offset, out_offset, block_id, ntok),
     stored [nsto,3] (src_byte, out_offset, len), block_lens [nblk,318]
     (litlen 288 + dist 30 code lengths), total_out, end_bit, max_depth
-    (copy-nesting depth bound at 1 KiB granularity — sizes the device
-    resolver's fixed pointer-doubling trip count)."""
+    (exact per-byte copy-nesting depth over a 32 KiB ring, saturating at
+    0xFFFF — sizes the device resolver's fixed pointer-doubling trip
+    count)."""
     if _pyzt is None:  # pragma: no cover - ctypes fallback lacks the scanner
         raise ZippyError("device decode index requires the native extension")
     seg_cap = max(1024, 2 * len(data) // max(every, 1))

@@ -127,7 +127,10 @@ def _lut_from_lens(lens: jnp.ndarray, ent_nolen: jnp.ndarray) -> jnp.ndarray:
     S = lens.shape[0]
     codes = _canonical_device(lens)
     start = codes << (15 - lens)
-    pos = jnp.where(lens > 0, start, 1 << 20)  # invalid syms -> dropped
+    # Invalid syms scatter out of bounds (mode="drop"); offset by arange so
+    # the dropped indices stay distinct and the unique_indices promise holds.
+    pos = jnp.where(lens > 0, start,
+                    (1 << 20) + jnp.arange(S, dtype=jnp.int32))
     key = (start << 9) | jnp.arange(S, dtype=jnp.int32)
     filled = jax.lax.cummax(
         jnp.zeros(1 << 15, dtype=jnp.int32).at[pos].set(
