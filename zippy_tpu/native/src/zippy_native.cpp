@@ -229,7 +229,9 @@ const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6,
 const uint8_t kClclOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
                                 11, 4, 12, 3, 13, 2, 14, 1, 15};
 
-const int kMinMatch = 4;       // we never emit 3-byte matches (like reference lz77)
+const int kMinMatch = 4;       // hash/insert granularity (4-byte reads); the
+                               // chain matcher emits length-3 matches when
+                               // dist <= 4096 (zlib TOO_FAR rule)
 const int kMaxMatch = 258;
 const int kWindow = 32768;
 const size_t kMaxBlock = 4u << 20;      // 4 MiB encoder block seam
@@ -806,46 +808,39 @@ struct BitWriter {
 // package-merge.
 int huffman_lengths_unlimited(const uint32_t* freq, const int* active, int na,
                               uint8_t* lens) {
-  struct HNode {
+  // Sorted two-queue Huffman build (O(n) after the sort): leaves ascend in
+  // one queue, merged nodes ascend in the other, so the two global minima
+  // are always at the queue fronts. ~2.5x faster than a binary heap at
+  // n<=286, and this runs per exact-cost eval in the segmentation planner.
+  struct WId {
     uint64_t w;  // (weight << 10) | creation order: deterministic ties
     int32_t id;
   };
-  thread_local std::vector<HNode> heap;
+  thread_local std::vector<WId> leaves2, internal;
   thread_local std::vector<int32_t> parent;
-  heap.clear();
+  leaves2.resize(na);
+  internal.clear();
+  internal.reserve(na);
   parent.assign(2 * na - 1, -1);
-  auto heap_push = [&](HNode v) {
-    heap.push_back(v);
-    size_t i = heap.size() - 1;
-    while (i && heap[(i - 1) / 2].w > heap[i].w) {
-      std::swap(heap[i], heap[(i - 1) / 2]);
-      i = (i - 1) / 2;
-    }
-  };
-  auto heap_pop = [&]() {
-    HNode top = heap[0];
-    heap[0] = heap.back();
-    heap.pop_back();
-    size_t i = 0, sz = heap.size();
-    for (;;) {
-      size_t l = 2 * i + 1, r = l + 1, m = i;
-      if (l < sz && heap[l].w < heap[m].w) m = l;
-      if (r < sz && heap[r].w < heap[m].w) m = r;
-      if (m == i) break;
-      std::swap(heap[i], heap[m]);
-      i = m;
-    }
-    return top;
-  };
   for (int i = 0; i < na; i++)
-    heap_push({((uint64_t)freq[active[i]] << 10) | (uint32_t)i, i});
+    leaves2[i] = {((uint64_t)freq[active[i]] << 10) | (uint32_t)i, i};
+  std::sort(leaves2.begin(), leaves2.end(),
+            [](const WId& a, const WId& b) { return a.w < b.w; });
+  size_t la = 0, ia = 0;
   int next_id = na;
-  while (heap.size() > 1) {
-    HNode a = heap_pop();
-    HNode b = heap_pop();
+  auto take_min = [&]() -> WId {
+    if (ia < internal.size() &&
+        (la >= leaves2.size() || internal[ia].w <= leaves2[la].w))
+      return internal[ia++];
+    return leaves2[la++];
+  };
+  for (int k = 0; k < na - 1; k++) {
+    WId a = take_min();
+    WId b = take_min();
     parent[a.id] = next_id;
     parent[b.id] = next_id;
-    heap_push({(((a.w >> 10) + (b.w >> 10)) << 10) | (uint32_t)next_id, next_id});
+    internal.push_back(
+        {(((a.w >> 10) + (b.w >> 10)) << 10) | (uint32_t)next_id, next_id});
     next_id++;
   }
   // Depths: children are always created before parents; walk top-down.
@@ -996,6 +991,12 @@ inline uint32_t hash4(uint32_t v) {
   return (v * 0x9E3779B1u) >> (32 - kHashBits);
 }
 
+inline uint16_t read16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
 inline int match_len(const uint8_t* a, const uint8_t* b, int max) {
   int i = 0;
   while (i + 8 <= max) {
@@ -1018,24 +1019,67 @@ struct TokenStream {
   uint32_t dist_freq[30] = {0};
   size_t n_literals = 0;          // total literal bytes
   size_t n_tokens_match = 0;
+  // Match bytes per 32 KiB window of the tokenized region (filled by
+  // tokenize_fast): the level-1 segmentation trigger reads the density
+  // spread without an extra pass.
+  std::vector<uint32_t> match_bytes32;
 };
 
 struct Matcher {
   const uint8_t* src;
   size_t n;
   LevelCfg cfg;
-  std::vector<int32_t> head;
-  std::vector<int32_t> prev;
+  int32_t* head;   // hash4 chain heads (thread-local scratch, -1 = empty)
+  int32_t* prev;   // chain links, ring over the window
+  int32_t* ht3;    // last occurrence per 3-byte hash (single entry)
+  int hb;          // head/ht3 table bits (scaled to input size)
+  uint32_t pmask;  // prev ring mask
 
+  // Thread-local scratch: table construction cost dominated microsecond
+  // inputs (a fresh 256 KiB head fill per call is ~20 us); tables are
+  // sized to the input and cleared with memset instead.
   Matcher(const uint8_t* s, size_t end, const LevelCfg& c)
-      : src(s), n(end), cfg(c), head((size_t)1 << kHashBits, -1), prev(kWindow) {}
+      : src(s), n(end), cfg(c) {
+    hb = 16;
+    while (hb > 12 && ((size_t)1 << (hb - 1)) >= end) hb--;
+    size_t psz = (size_t)kWindow;
+    while (psz > 1024 && (psz >> 1) >= end) psz >>= 1;
+    pmask = (uint32_t)psz - 1;
+    thread_local std::vector<int32_t> thead, tprev, tht3;
+    if (thead.size() < ((size_t)1 << hb)) thead.resize((size_t)1 << hb);
+    if (tprev.size() < psz) tprev.resize(psz);
+    if (tht3.size() < ((size_t)1 << hb)) tht3.resize((size_t)1 << hb);
+    head = thead.data();
+    prev = tprev.data();
+    ht3 = tht3.data();
+    memset(head, 0xFF, sizeof(int32_t) << hb);
+    memset(ht3, 0xFF, sizeof(int32_t) << hb);
+  }
+
+  inline uint32_t h3(uint32_t v) const {
+    return ((v & 0xFFFFFF) * 0x9E3779B1u) >> (32 - hb);
+  }
+  inline uint32_t h4(uint32_t v) const {
+    return (v * 0x9E3779B1u) >> (32 - hb);
+  }
 
   // Insert position into the hash chains; returns the previous chain head.
+  // Also records the position as the most recent occurrence of its 3-byte
+  // prefix: a single-entry recency table finds RFC 1951's minimum match
+  // length of 3 (the shortest distance for a 3-gram is also the cheapest
+  // distance code), which a 4-byte chain hash can never see. Full 3-byte
+  // chains would find the same matches but walk ~2.5x more candidates on
+  // text; the split table keeps chain speed with the ratio win.
+  int32_t cand3 = -1;  // previous 3-gram occurrence for the CURRENT insert
   inline int32_t insert(size_t pos) {
-    uint32_t h = hash4(read32(src + pos));
+    uint32_t v = read32(src + pos);
+    uint32_t h = h4(v);
     int32_t cand = head[h];
     head[h] = (int32_t)pos;
-    prev[pos & (kWindow - 1)] = cand;
+    prev[pos & pmask] = cand;
+    uint32_t hh = h3(v);
+    cand3 = ht3[hh];
+    ht3[hh] = (int32_t)pos;
     return cand;
   }
 
@@ -1043,22 +1087,24 @@ struct Matcher {
   // search (only matches strictly longer matter in lazy mode).
   inline void find(size_t pos, int32_t cand, int prev_len, int& best_len,
                    uint32_t& best_dist) {
-    best_len = 0;
     best_dist = 0;
     int chain = cfg.chain;
     if (prev_len >= cfg.good) chain >>= 2;  // zlib good_match shortcut
     int max_len = (int)std::min<size_t>(kMaxMatch, n - pos);
-    best_len = prev_len > 0 ? prev_len : 0;
+    int floor_len = prev_len > 3 ? prev_len : 3;  // candidates must beat this
+    best_len = floor_len;
     if (best_len >= max_len) {
       best_len = 0;
       return;
     }
     const uint8_t* scan = src + pos;
+    uint32_t first4 = read32(scan);
     while (cand >= 0 && (size_t)cand + kWindow > pos && chain-- > 0) {
       // Cheap filter: a candidate can only improve on best_len if it also
-      // matches at scan[best_len] (zlib's scan_end trick).
-      if (src[cand + best_len] == scan[best_len] &&
-          read32(src + cand) == read32(scan)) {
+      // matches the two bytes ending at scan[best_len] (zlib's scan_end
+      // trick; two bytes reject far more of a long chain than one).
+      if (read16(src + cand + best_len - 1) == read16(scan + best_len - 1) &&
+          read32(src + cand) == first4) {
         int len = match_len(scan, src + cand, max_len);
         if (len > best_len) {
           best_len = len;
@@ -1066,15 +1112,44 @@ struct Matcher {
           if (len >= cfg.nice || len >= max_len) break;
         }
       }
-      int32_t nxt = prev[cand & (kWindow - 1)];
+      int32_t nxt = prev[cand & pmask];
       cand = ((size_t)nxt < (size_t)cand) ? nxt : -1;
     }
-    if (best_len <= prev_len) best_len = 0;  // no strict improvement found
+    if (best_dist == 0 && prev_len < 3) {
+      // Chains found nothing longer than 3: try the most recent 3-gram
+      // (stashed by insert() before it overwrote the slot with pos).
+      int32_t c3 = cand3;
+      if (c3 >= 0 && (size_t)c3 < pos && (size_t)c3 + kWindow > pos &&
+          ((read32(src + c3) ^ first4) & 0xFFFFFF) == 0) {
+        int len = match_len(scan, src + c3, max_len);
+        uint32_t dist = (uint32_t)(pos - c3);
+        // A length-3 match farther than 4 KiB costs more bits than three
+        // literals (zlib TOO_FAR rule).
+        if (len >= 4 || dist <= 4096) {
+          best_len = len;
+          best_dist = dist;
+          return;
+        }
+      }
+    }
+    if (best_dist == 0 || best_len <= prev_len) best_len = 0;
+  }
+
+  // Bulk insertion for positions inside an emitted match: chain links only.
+  // Skipping the 3-gram recency store here saves a hash+store per position;
+  // the single-entry table only feeds the "chains found nothing" fallback,
+  // where a slightly stale 3-gram costs at most a marginally longer
+  // distance code.
+  inline void insert_bulk(size_t pos) {
+    uint32_t v = read32(src + pos);
+    uint32_t h = h4(v);
+    prev[pos & pmask] = head[h];
+    head[h] = (int32_t)pos;
   }
 
   inline void insert_span(size_t from, size_t to) {  // [from, to)
     size_t lim = n >= (size_t)kMinMatch ? n - kMinMatch + 1 : 0;
-    for (size_t i = from; i < std::min(to, lim); i++) insert(i);
+    for (size_t i = from; i < std::min(to, lim); i++) insert_bulk(i);
   }
 };
 
@@ -1143,6 +1218,8 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
   for (size_t i = hist_from; i + kMinMatch <= start; i += 2)
     table[fhash(read32(src + i))] = (uint16_t)i;
   ts.tokens.reserve((end - start) / 8 + 16);
+  ts.match_bytes32.assign(((end - start) >> 15) + 1, 0);
+  uint32_t* mb32 = ts.match_bytes32.data();
   alignas(64) uint32_t hh0[256] = {0}, hh1[256] = {0}, hh2[256] = {0},
                        hh3[256] = {0};
   size_t pos = start, lit_start = start;
@@ -1187,8 +1264,19 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
       {
         int max_len = (int)std::min<size_t>(kMaxMatch, end - pos);
         int len = match_len(src + pos, src + cand, max_len);
+        // Extend the match backward over trailing literals (the probe grid
+        // lands mid-repeat on structured data; zlib's per-position chains
+        // see the true start). A few byte compares per match buys ~0.5-1%
+        // ratio on mixed content.
+        while (len < kMaxMatch && pos > lit_start && cand > 0 &&
+               src[pos - 1] == src[cand - 1]) {
+          pos--;
+          cand--;
+          len++;
+        }
         flush_literal_run4(ts, src, lit_start, pos, hh0, hh1, hh2, hh3);
         emit_match(ts, len, (uint32_t)(pos - cand));
+        mb32[(pos - start) >> 15] += (uint32_t)len;
         size_t e = pos + (size_t)len;
         // Seed the table near the match end so back-to-back matches chain.
         if (e >= 2 && e - 2 + 4 <= end)
@@ -1215,7 +1303,10 @@ done:
 
 void tokenize(const uint8_t* src, size_t start, size_t end, int level,
               TokenStream& ts, size_t hist_from) {
-  if (level == 1) {
+  if (level == 1 && end - start > 4096) {
+    // BestSpeed single-probe matcher; tiny inputs fall through to the
+    // greedy hash chain below instead (zlib's deflate_fast quality at
+    // microsecond cost — the probe table setup dominates at this size).
     tokenize_fast(src, start, end, ts, hist_from);
     return;
   }
@@ -1252,7 +1343,7 @@ void tokenize(const uint8_t* src, size_t start, size_t end, int level,
       int best_len;
       uint32_t best_dist;
       m.find(pos, cand, 0, best_len, best_dist);
-      if (best_len >= kMinMatch) {
+      if (best_len >= 3) {
         flush_literals(pos);
         emit_match(ts, best_len, best_dist);
         size_t ins_end = pos + (size_t)best_len;
@@ -1282,8 +1373,6 @@ void tokenize(const uint8_t* src, size_t start, size_t end, int level,
         dist = 0;
       } else {
         m.find(pos, cand, have_prev ? prev_len : 0, len, dist);
-        // Discard barely-minimal matches that are far away (zlib TOO_FAR).
-        if (len == kMinMatch && dist > 4096) len = 0;
       }
       if (have_prev && prev_len >= len) {
         // Previous match wins: it started at pos-1.
@@ -1294,7 +1383,7 @@ void tokenize(const uint8_t* src, size_t start, size_t end, int level,
         pos = match_end;
         lit_start = pos;
         have_prev = false;
-      } else if (len >= kMinMatch) {
+      } else if (len >= 3) {
         // Current match becomes the new pending match; pos-1 (if pending)
         // degrades to a literal inside the running literal span.
         prev_len = len;
@@ -1397,21 +1486,26 @@ size_t rle_code_lengths(const uint8_t* lens, int n, uint32_t* out,
   return m;
 }
 
-uint64_t huffman_cost_bits(const TokenStream& ts, const uint8_t* ll_lens,
-                           const uint8_t* d_lens) {
+uint64_t huffman_cost_bits(const uint32_t* lit_freq, const uint32_t* dist_freq,
+                           const uint8_t* ll_lens, const uint8_t* d_lens) {
   uint64_t bits = 0;
   for (int s = 0; s < 286; s++)
-    if (ts.lit_freq[s]) {
+    if (lit_freq[s]) {
       if (!ll_lens[s]) return UINT64_MAX;  // symbol not codable
-      bits += (uint64_t)ts.lit_freq[s] * ll_lens[s];
-      if (s >= 265 && s < 285) bits += (uint64_t)ts.lit_freq[s] * kLengthExtra[s - 257];
+      bits += (uint64_t)lit_freq[s] * ll_lens[s];
+      if (s >= 265 && s < 285) bits += (uint64_t)lit_freq[s] * kLengthExtra[s - 257];
     }
   for (int s = 0; s < 30; s++)
-    if (ts.dist_freq[s]) {
+    if (dist_freq[s]) {
       if (!d_lens[s]) return UINT64_MAX;
-      bits += (uint64_t)ts.dist_freq[s] * (d_lens[s] + kDistExtra[s]);
+      bits += (uint64_t)dist_freq[s] * (d_lens[s] + kDistExtra[s]);
     }
   return bits;
+}
+
+uint64_t huffman_cost_bits(const TokenStream& ts, const uint8_t* ll_lens,
+                           const uint8_t* d_lens) {
+  return huffman_cost_bits(ts.lit_freq, ts.dist_freq, ll_lens, d_lens);
 }
 
 // Precomputed per-CodeSet emit tables: fused (bits|nbits<<24) entries for
@@ -1454,8 +1548,8 @@ struct EmitLut {
 // 7 carried bits + PAIRS*2*max_lit_bits <= 64).
 template <int PAIRS>
 static void emit_tokens_fb(BitWriter& bw, const uint8_t* src, size_t start,
-                           const TokenStream& ts, const EmitLut& lut,
-                           bool emit_eob) {
+                           const uint32_t* toks, size_t ntok,
+                           const EmitLut& lut, bool emit_eob) {
   uint64_t buf = bw.buf;
   unsigned cnt = (unsigned)bw.cnt;  // < 32 on entry (BitWriter invariant)
   uint8_t* p = bw.dst + bw.pos;
@@ -1481,7 +1575,8 @@ static void emit_tokens_fb(BitWriter& bw, const uint8_t* src, size_t start,
     return;
   }
   flush();
-  for (uint32_t t : ts.tokens) {
+  for (size_t ti = 0; ti < ntok; ti++) {
+    uint32_t t = toks[ti];
     if (t & 0x80000000u) {
       if (p + 16 > hard_end) {
         full = true;
@@ -1544,10 +1639,12 @@ out:
 // a skewed dynamic table), where its add-branch is perfectly predicted and
 // the branchless path's per-pair 8-byte store is pure overhead.
 static void emit_tokens_branchy(BitWriter& bw, const uint8_t* src,
-                                size_t start, const TokenStream& ts,
-                                const CodeSet& cs, bool emit_eob) {
+                                size_t start, const uint32_t* toks,
+                                size_t ntok, const CodeSet& cs,
+                                bool emit_eob) {
   size_t pos = start;
-  for (uint32_t t : ts.tokens) {
+  for (size_t ti = 0; ti < ntok; ti++) {
+    uint32_t t = toks[ti];
     if (t & 0x80000000u) {
       uint32_t len = ((t >> 16) & 0xFF) + 3;
       uint32_t dist = (t & 0xFFFF) + 1;
@@ -1577,24 +1674,32 @@ static void emit_tokens_branchy(BitWriter& bw, const uint8_t* src,
     bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);  // end of block
 }
 
-void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
-                 const TokenStream& ts, const CodeSet& cs,
-                 bool emit_eob = true) {
+void emit_tokens_span(BitWriter& bw, const uint8_t* src, size_t start,
+                      const uint32_t* toks, size_t ntok, size_t n_literals,
+                      size_t n_match_tokens, const CodeSet& cs,
+                      bool emit_eob = true) {
   EmitLut lut;
   lut.build(cs);
   if (lut.max_lit_bits <= 9) {
-    emit_tokens_fb<3>(bw, src, start, ts, lut, emit_eob);
+    emit_tokens_fb<3>(bw, src, start, toks, ntok, lut, emit_eob);
   } else if (lut.max_lit_bits <= 12) {
-    emit_tokens_fb<2>(bw, src, start, ts, lut, emit_eob);
+    emit_tokens_fb<2>(bw, src, start, toks, ntok, lut, emit_eob);
   } else {
     // >12-bit literal codes force single-pair flush groups; those only lose
     // to the branchy writer when runs are long (predictable add-branch).
-    size_t lit_tokens = ts.tokens.size() - ts.n_tokens_match;
-    if (lit_tokens > 0 && ts.n_literals > 8 * lit_tokens)
-      emit_tokens_branchy(bw, src, start, ts, cs, emit_eob);
+    size_t lit_tokens = ntok - n_match_tokens;
+    if (lit_tokens > 0 && n_literals > 8 * lit_tokens)
+      emit_tokens_branchy(bw, src, start, toks, ntok, cs, emit_eob);
     else
-      emit_tokens_fb<1>(bw, src, start, ts, lut, emit_eob);
+      emit_tokens_fb<1>(bw, src, start, toks, ntok, lut, emit_eob);
   }
+}
+
+void emit_tokens(BitWriter& bw, const uint8_t* src, size_t start,
+                 const TokenStream& ts, const CodeSet& cs,
+                 bool emit_eob = true) {
+  emit_tokens_span(bw, src, start, ts.tokens.data(), ts.tokens.size(),
+                   ts.n_literals, ts.n_tokens_match, cs, emit_eob);
 }
 
 void emit_stored(BitWriter& bw, const uint8_t* src, size_t start, size_t len,
@@ -1694,6 +1799,544 @@ void emit_dynamic_header(BitWriter& bw, const DynPlan& p) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Content-adaptive block segmentation.
+//
+// A single dynamic-Huffman block over heterogeneous content (text followed
+// by an incompressible tail, or drifting symbol distributions) pays real
+// bits: one global code table serves every region. zlib wins those inputs
+// purely through its small (~16 KiB-symbol) blocks with per-block tables.
+// We do better: partition the token stream into fine chunks, merge adjacent
+// chunks bottom-up under an entropy cost estimate, then refine the surviving
+// boundaries with EXACT package-merge costs, emitting each final segment as
+// its own stored/fixed/dynamic block (the reference's stored fallback,
+// deflate.nim:275-277, generalized to interior sub-block segments).
+// ---------------------------------------------------------------------------
+
+const int kSegLitDist = 286 + 30;  // per-chunk histogram stride
+
+struct ChunkMeta {
+  size_t tok_begin, tok_end;   // token range in the rewritten stream
+  size_t byte_begin, byte_end; // input byte range
+  uint64_t extra_bits;         // match length/dist extra bits in the range
+  size_t n_literals;
+  size_t n_match;
+};
+
+// Fast log2 for entropy estimation: exact exponent from the float bit
+// pattern plus a 2nd-order polynomial on the mantissa (|err| < 0.01 bits).
+// Only used for merge ESTIMATES; final block choices use exact bit counts.
+static inline float flog2(float x) {
+  union {
+    float f;
+    uint32_t i;
+  } u{x};
+  int e = (int)(u.i >> 23) - 127;
+  u.i = (u.i & 0x7FFFFF) | 0x3F800000;  // mantissa in [1,2)
+  float m = u.f;
+  // log2(m) ~= -1.674903 + 2.024658*m - 0.3448453*m^2  on [1,2)
+  return (float)e + (-1.674903f + (2.024658f - 0.3448453f * m) * m);
+}
+
+// Estimated cost in bits of one segment: min(entropy-coded, stored).
+// Header estimate tracks the dynamic header's real size shape (fixed cost +
+// per-distinct-symbol RLE cost); biased slightly low so borderline splits
+// survive to the exact refinement pass (which can only merge).
+static double seg_cost_est(const uint32_t* lf, const uint32_t* df,
+                           const ChunkMeta& m, bool* stored_won = nullptr) {
+  uint64_t F = 1;  // + EOB
+  for (int i = 0; i < 286; i++) F += lf[i];
+  float logF = flog2((float)F);
+  double h = logF;  // EOB cost approximation
+  int distinct = 1;
+  for (int i = 0; i < 286; i++)
+    if (lf[i]) {
+      h += (double)lf[i] * (logF - flog2((float)lf[i]));
+      distinct++;
+    }
+  uint64_t D = 0;
+  for (int i = 0; i < 30; i++) D += df[i];
+  if (D) {
+    float logD = flog2((float)D);
+    for (int i = 0; i < 30; i++)
+      if (df[i]) {
+        h += (double)df[i] * (logD - flog2((float)df[i]));
+        distinct++;
+      }
+  }
+  double coded = 3 + 64 + 5.0 * distinct + h + (double)m.extra_bits;
+  size_t blen = m.byte_end - m.byte_begin;
+  double stored =
+      8.0 * (blen + 5 * ((blen + kMaxStored - 1) / kMaxStored)) + 6;
+  if (stored_won) *stored_won = stored < coded;
+  return std::min(coded, stored);
+}
+
+const CodeSet& fixed_cs() {
+  static const CodeSet cs = [] {
+    CodeSet c;
+    fixed_codeset(c);
+    return c;
+  }();
+  return cs;
+}
+
+// Exact cost (bits) of emitting one segment as its own block, with the mode
+// choice. freq arrays are WITHOUT the EOB count (added here). Fills `plan`
+// when dynamic wins.
+static uint64_t seg_exact_cost(const uint32_t* lf_noeob, const uint32_t* df,
+                               const ChunkMeta& m, DynPlan& plan, int& mode) {
+  uint32_t lf[286];
+  memcpy(lf, lf_noeob, sizeof(lf));
+  lf[256] += 1;
+  plan_dynamic(lf, df, plan);
+  uint64_t body =
+      huffman_cost_bits(lf, df, plan.dyn.litlen_lens, plan.dyn.dist_lens);
+  uint64_t dyn_bits = 3 + plan.header_bits + body;
+  const CodeSet& fix = fixed_cs();
+  uint64_t fc = huffman_cost_bits(lf, df, fix.litlen_lens, fix.dist_lens);
+  uint64_t fix_bits = fc == UINT64_MAX ? UINT64_MAX : 3 + fc;
+  size_t blen = m.byte_end - m.byte_begin;
+  uint64_t stored_bits =
+      ((blen + kMaxStored - 1) / kMaxStored) * 5ull * 8 + blen * 8ull + 7;
+  if (stored_bits < dyn_bits && stored_bits < fix_bits) {
+    mode = 0;
+    return stored_bits;
+  }
+  if (fix_bits <= dyn_bits) {
+    mode = 1;
+    return fix_bits;
+  }
+  mode = 2;
+  return dyn_bits;
+}
+
+struct SegmentedPlan {
+  std::vector<uint32_t> rtoks;   // rewritten tokens (literal runs split)
+  std::vector<ChunkMeta> segs;   // final segments, in order
+  std::vector<int> modes;        // 0 stored / 1 fixed / 2 dynamic
+  std::vector<DynPlan> plans;    // valid where modes[i] == 2
+  uint64_t total_bits = 0;
+};
+
+// Pass 1: rewrite tokens with literal runs split at chunk boundaries and
+// collect per-chunk histograms. Returns the chunk count (0 = segmentation
+// not applicable).
+static size_t chunk_stats(const uint8_t* src, size_t start, size_t end,
+                          const std::vector<uint32_t>& toks, int chunk_shift,
+                          std::vector<uint32_t>& rtoks,
+                          std::vector<ChunkMeta>& metas,
+                          std::vector<uint32_t>& freqs) {
+  size_t blen = end - start;
+  size_t csize = (size_t)1 << chunk_shift;
+  size_t nchunks = (blen + csize - 1) >> chunk_shift;
+  if (nchunks < 2) return 0;
+  rtoks.clear();
+  rtoks.reserve(toks.size() + nchunks);
+  metas.assign(nchunks, ChunkMeta{});
+  freqs.assign(nchunks * kSegLitDist, 0);
+
+  size_t pos = start;
+  size_t c = 0;
+  size_t lim = std::min(start + csize, end);
+  metas[0].byte_begin = start;
+  metas[0].tok_begin = 0;
+  auto close_chunk = [&](size_t next_pos) {
+    metas[c].byte_end = next_pos;
+    metas[c].tok_end = rtoks.size();
+    c++;
+    if (next_pos < end) {
+      metas[c].byte_begin = next_pos;
+      metas[c].tok_begin = rtoks.size();
+      size_t rel = next_pos - start;
+      lim = std::min(start + (((rel >> chunk_shift) + 1) << chunk_shift), end);
+    }
+  };
+  for (uint32_t t : toks) {
+    if (t & 0x80000000u) {
+      uint32_t l = ((t >> 16) & 0xFF);
+      uint32_t dist = (t & 0xFFFF) + 1;
+      uint32_t* lf = &freqs[c * kSegLitDist];
+      int li = kLenCode.idx[l];
+      lf[257 + li]++;
+      int di = kDistCode.code(dist);
+      lf[286 + di]++;
+      metas[c].extra_bits += kLengthExtra[li] + kDistExtra[di];
+      metas[c].n_match++;
+      rtoks.push_back(t);
+      pos += l + 3;
+      if (pos >= lim) close_chunk(pos);
+    } else {
+      size_t run = t;
+      while (run) {
+        size_t take = std::min(run, lim - pos);
+        uint32_t* lf = &freqs[c * kSegLitDist];
+        for (size_t i = pos; i < pos + take; i++) lf[src[i]]++;
+        metas[c].n_literals += take;
+        rtoks.push_back((uint32_t)take);
+        pos += take;
+        run -= take;
+        if (pos >= lim) close_chunk(pos);
+      }
+    }
+  }
+  if (c < nchunks && metas[c].byte_begin < pos) close_chunk(pos);
+  return c;
+}
+
+// Pass 2+3: estimate-driven bottom-up merge over chunk RANGES, then exact
+// refinement (merge AND top-down split) against prefix-sum histograms, then
+// exact per-segment mode choice. Fills `sp`.
+static void merge_and_plan(std::vector<uint32_t>& rtoks,
+                           std::vector<ChunkMeta>& metas,
+                           std::vector<uint32_t>& freqs, size_t n,
+                           SegmentedPlan& sp) {
+  // Prefix sums over the original chunk histograms: any range's histogram
+  // is a 316-wide subtraction, so merges and splits never mutate state.
+  std::vector<uint32_t> pf((n + 1) * kSegLitDist, 0);
+  for (size_t i = 0; i < n; i++)
+    for (int s = 0; s < kSegLitDist; s++)
+      pf[(i + 1) * kSegLitDist + s] = pf[i * kSegLitDist + s] +
+                                      freqs[i * kSegLitDist + s];
+  auto range_meta = [&](size_t a, size_t b) {
+    ChunkMeta m;
+    m.tok_begin = metas[a].tok_begin;
+    m.tok_end = metas[b - 1].tok_end;
+    m.byte_begin = metas[a].byte_begin;
+    m.byte_end = metas[b - 1].byte_end;
+    m.extra_bits = 0;
+    m.n_literals = 0;
+    m.n_match = 0;
+    for (size_t i = a; i < b; i++) {
+      m.extra_bits += metas[i].extra_bits;
+      m.n_literals += metas[i].n_literals;
+      m.n_match += metas[i].n_match;
+    }
+    return m;
+  };
+  uint32_t tmp[kSegLitDist];
+  auto range_hist = [&](size_t a, size_t b) -> const uint32_t* {
+    const uint32_t* hi = &pf[b * kSegLitDist];
+    const uint32_t* lo = &pf[a * kSegLitDist];
+    for (int s = 0; s < kSegLitDist; s++) tmp[s] = hi[s] - lo[s];
+    return tmp;
+  };
+  auto est_range = [&](size_t a, size_t b, bool* sw = nullptr) {
+    const uint32_t* h = range_hist(a, b);
+    return seg_cost_est(h, h + 286, range_meta(a, b), sw);
+  };
+
+  // Estimate phase: greedy best-pair merging over a linked list of ranges
+  // while the estimated savings clear a small threshold; borderline pairs
+  // stay split for the exact passes below.
+  std::vector<int> nxt(n + 1), prv(n + 1);
+  std::vector<double> cost(n);
+  std::vector<char> stored(n);
+  std::vector<double> sav(n, -1e30);  // sav[i]: merge (range i, next range)
+  for (size_t i = 0; i < n; i++) {
+    nxt[i] = (int)i + 1;
+    prv[i] = (int)i - 1;
+    bool sw;
+    cost[i] = est_range(i, i + 1, &sw);
+    stored[i] = sw;
+  }
+  auto pair_sav = [&](int i) -> double {
+    int j = nxt[i];
+    if (j >= (int)n) return -1e30;
+    int k = nxt[j];
+    // Two stored-favorable neighbors always merge (saves a header; avoids
+    // leaving incompressible data as hundreds of segments for the exact
+    // refinement pass to chew through).
+    if (stored[i] && stored[j]) return 1e30;
+    return cost[i] + cost[j] - est_range(i, k);
+  };
+  for (size_t i = 0; i + 1 < n; i++) sav[i] = pair_sav((int)i);
+
+  const double kMergeSlack = 64.0;
+  for (;;) {
+    int best = -1;
+    double best_s = kMergeSlack;
+    for (int i = 0; i < (int)n; i = nxt[i]) {
+      if (nxt[i] >= (int)n) break;
+      if (sav[i] > best_s) {
+        best_s = sav[i];
+        best = i;
+      }
+    }
+    if (best < 0) break;
+    int j = nxt[best];
+    nxt[best] = nxt[j];
+    if (nxt[j] <= (int)n) prv[nxt[j]] = best;
+    bool sw;
+    cost[best] = est_range(best, nxt[best], &sw);
+    stored[best] = sw;
+    sav[best] = pair_sav(best);
+    if (prv[best] >= 0) sav[prv[best]] = pair_sav(prv[best]);
+  }
+
+  // Exact phase on the surviving ranges [a,b): alternate a merge sweep and
+  // a recursive split sweep, both under true package-merge bit counts. The
+  // split sweep catches gradually-drifting distributions that fool the
+  // greedy pairwise merge (each local merge looks fine; the end-to-end
+  // distribution shift does not).
+  std::vector<std::pair<size_t, size_t>> ranges;
+  for (int i = 0; i < (int)n; i = nxt[i]) ranges.emplace_back(i, nxt[i]);
+
+  DynPlan scratch;
+  // Exact evals cost ~5-8 us each (a package-merge per call); the sweeps
+  // below re-ask the same ranges repeatedly, so memoize (bits, mode) per
+  // (a, b). Plans are only rebuilt for the final segments.
+  std::vector<std::pair<uint64_t, int>> memo((n + 1) * 2, {UINT64_MAX, -1});
+  std::vector<size_t> memo_b((n + 1) * 2, SIZE_MAX);
+  auto exact_range = [&](size_t a, size_t b, DynPlan& plan, int& mode,
+                         bool need_plan = false) -> uint64_t {
+    size_t slot = a * 2 + (b == a + 1 ? 0 : 1);
+    if (!need_plan && memo_b[slot] == b && memo[slot].first != UINT64_MAX) {
+      mode = memo[slot].second;
+      return memo[slot].first;
+    }
+    const uint32_t* h = range_hist(a, b);
+    uint64_t bits = seg_exact_cost(h, h + 286, range_meta(a, b), plan, mode);
+    memo_b[slot] = b;
+    memo[slot] = {bits, mode};
+    return bits;
+  };
+
+  // Merge sweep (exact, linear): only when the estimate left boundaries.
+  auto merge_sweep = [&]() {
+    if (ranges.size() < 2) return;
+    std::vector<std::pair<size_t, size_t>> out;
+    size_t a = ranges[0].first, b = ranges[0].second;
+    int mode_l, mode_r, mode_m;
+    uint64_t bits_l = exact_range(a, b, scratch, mode_l);
+    for (size_t r = 1; r < ranges.size(); r++) {
+      size_t c = ranges[r].second;
+      uint64_t bits_r = exact_range(b, c, scratch, mode_r);
+      uint64_t bits_m = exact_range(a, c, scratch, mode_m);
+      if (bits_m <= bits_l + bits_r) {
+        b = c;
+        bits_l = bits_m;
+      } else {
+        out.emplace_back(a, b);
+        a = b;
+        b = c;
+        bits_l = bits_r;
+      }
+    }
+    out.emplace_back(a, b);
+    ranges = std::move(out);
+  };
+  merge_sweep();
+
+  // Split sweep: the cheap estimate ranks every candidate boundary inside a
+  // segment; only the best one is verified with exact costs (recursing into
+  // the halves on success). This catches gradually-drifting distributions
+  // that fool the greedy pairwise merge — each local merge looks fine, the
+  // end-to-end shift does not — at ~2 exact evals per accepted split.
+  bool split_any = false;
+  {
+    std::vector<std::pair<size_t, size_t>> stack(ranges.rbegin(),
+                                                 ranges.rend());
+    std::vector<std::pair<size_t, size_t>> done;
+    int budget = 256;  // exact-eval backstop
+    while (!stack.empty()) {
+      auto [a, b] = stack.back();
+      stack.pop_back();
+      size_t m = b - a;
+      bool sw;
+      double est_whole = est_range(a, b, &sw);
+      if (m < 2 || budget <= 0 || sw) {  // stored never gains from a split
+        done.emplace_back(a, b);
+        continue;
+      }
+      size_t stride = m <= 32 ? 1 : (m + 31) / 32;
+      double best_est = 1e30;
+      size_t best_c = 0;
+      for (size_t c = a + stride; c < b; c += stride) {
+        double e = est_range(a, c) + est_range(c, b);
+        if (e < best_est) {
+          best_est = e;
+          best_c = c;
+        }
+      }
+      // Verify with exact bits only when the estimate is at least nearly
+      // break-even (the estimate's header model is biased low, so a truly
+      // profitable split never looks much worse than break-even).
+      if (best_c && best_est < est_whole + 96.0) {
+        int ml, mr, mw;
+        uint64_t bl = exact_range(a, best_c, scratch, ml);
+        uint64_t br = exact_range(best_c, b, scratch, mr);
+        uint64_t bw = exact_range(a, b, scratch, mw);
+        budget -= 3;
+        if (bl + br < bw) {
+          stack.emplace_back(best_c, b);
+          stack.emplace_back(a, best_c);
+          split_any = true;
+          continue;
+        }
+      }
+      done.emplace_back(a, b);
+    }
+    ranges = std::move(done);
+  }
+  if (split_any) merge_sweep();
+
+  // Final exact plans per segment.
+  sp.segs.clear();
+  sp.modes.clear();
+  sp.plans.clear();
+  sp.total_bits = 0;
+  for (auto [a, b] : ranges) {
+    DynPlan plan;
+    int mode;
+    uint64_t bits = exact_range(a, b, plan, mode, /*need_plan=*/true);
+    sp.segs.push_back(range_meta(a, b));
+    sp.modes.push_back(mode);
+    sp.plans.push_back(std::move(plan));
+    sp.total_bits += bits;
+  }
+  sp.rtoks = std::move(rtoks);
+}
+
+// Debug/bench knob: ZT_NOSEG=1 disables content-adaptive segmentation.
+static bool seg_disabled() {
+  static bool v = [] {
+    const char* e = getenv("ZT_NOSEG");
+    return e && *e && *e != '0';
+  }();
+  return v;
+}
+
+// Top-level segmentation planner over one tokenized region. Returns false
+// when segmentation does not apply (fewer than 2 chunks).
+static bool plan_segments(const uint8_t* src, size_t start, size_t end,
+                          int chunk_shift, const TokenStream& ts,
+                          SegmentedPlan& sp) {
+  if (seg_disabled()) return false;
+  std::vector<uint32_t> rtoks;
+  std::vector<ChunkMeta> metas;
+  std::vector<uint32_t> freqs;
+  size_t n = chunk_stats(src, start, end, ts.tokens, chunk_shift, rtoks,
+                         metas, freqs);
+  if (n < 2) return false;
+  merge_and_plan(rtoks, metas, freqs, n, sp);
+  return true;
+}
+
+// Emit a segmented plan; marks BFINAL on the last block iff mark_final.
+static void emit_segments(BitWriter& bw, const uint8_t* src,
+                          const SegmentedPlan& sp, bool mark_final) {
+  for (size_t i = 0; i < sp.segs.size(); i++) {
+    const ChunkMeta& m = sp.segs[i];
+    bool fin = mark_final && (i + 1 == sp.segs.size());
+    if (sp.modes[i] == 0) {
+      emit_stored(bw, src, m.byte_begin, m.byte_end - m.byte_begin, fin);
+    } else {
+      bw.add(fin ? 1 : 0, 1);
+      bw.add(sp.modes[i] == 1 ? 1 : 2, 2);
+      const CodeSet* cs;
+      if (sp.modes[i] == 2) {
+        emit_dynamic_header(bw, sp.plans[i]);
+        cs = &sp.plans[i].dyn;
+      } else {
+        cs = &fixed_cs();
+      }
+      emit_tokens_span(bw, src, m.byte_begin, sp.rtoks.data() + m.tok_begin,
+                       m.tok_end - m.tok_begin, m.n_literals, m.n_match, *cs,
+                       /*emit_eob=*/true);
+    }
+    if (bw.full) return;
+  }
+}
+
+// Level-1 segmentation trigger: the BestSpeed path must stay zero-overhead
+// on homogeneous text, so segmentation runs only when a free signal says
+// the block is mixed — either the match density varies across 32 KiB
+// windows (text + embedded binary) or the block is nearly all literals
+// (stored/coded boundary territory).
+static bool l1_heterogeneous(const TokenStream& ts, size_t blen) {
+  if (ts.n_literals >= blen - blen / 20) return true;
+  const auto& mb = ts.match_bytes32;
+  if (mb.size() < 2) return false;
+  double mn = 2.0, mx = -1.0;
+  for (size_t i = 0; i < mb.size(); i++) {
+    size_t wlen = std::min<size_t>(32768, blen - (i << 15));
+    if (wlen < 8192) continue;  // ignore the tiny tail window
+    double d = (double)mb[i] / (double)wlen;
+    mn = std::min(mn, d);
+    mx = std::max(mx, d);
+  }
+  return mx - mn > 0.25;
+}
+
+// Shannon entropy (bits/byte) of the literal histogram with the
+// Miller-Madow small-sample bias correction (+ (k-1)/(2 n ln 2)): the
+// empirical entropy of genuinely random bytes reads low on small inputs
+// (7.986 on 12 KiB), which would send them through the segmentation
+// planner instead of the instant stored path.
+static double literal_entropy(const uint32_t* lit_freq, size_t n_literals) {
+  if (!n_literals) return 8.0;
+  double bits = 0;
+  double n = (double)n_literals;
+  int distinct = 0;
+  for (int s = 0; s < 256; s++)
+    if (lit_freq[s]) {
+      bits += lit_freq[s] * __builtin_log2(n / lit_freq[s]);
+      distinct++;
+    }
+  return bits / n + (distinct - 1) / (2.0 * n * 0.6931471805599453);
+}
+
+// Pre-tokenize random-block detector for levels >= 2: full byte histogram
+// (corrected entropy) plus a strided mini match-scan. Truly random data
+// (no sampled matches, >= 7.99 bits/byte) goes straight to a stored block,
+// skipping the hash-chain tokenizer entirely — the chain matcher is at its
+// slowest exactly there (every position misses through a full probe).
+// The sampler guards against high-byte-entropy-but-LZ-compressible input
+// (e.g. a repeated block of random bytes), which must still tokenize.
+static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
+  size_t n = end - start;
+  if (n < 4096) return false;
+  alignas(64) uint32_t h0[256] = {0}, h1[256] = {0}, h2[256] = {0},
+                       h3c[256] = {0};
+  size_t i = start;
+  for (; i + 4 <= end; i += 4) {
+    h0[src[i]]++;
+    h1[src[i + 1]]++;
+    h2[src[i + 2]]++;
+    h3c[src[i + 3]]++;
+  }
+  for (; i < end; i++) h0[src[i]]++;
+  double bits = 0;
+  int distinct = 0;
+  double dn = (double)n;
+  for (int s = 0; s < 256; s++) {
+    uint32_t f = h0[s] + h1[s] + h2[s] + h3c[s];
+    if (f) {
+      bits += f * __builtin_log2(dn / f);
+      distinct++;
+    }
+  }
+  double H = bits / dn + (distinct - 1) / (2.0 * dn * 0.6931471805599453);
+  if (H < 7.99) return false;
+  // Strided match sampler: 12-bit table of recent sampled positions.
+  uint16_t table[4096] = {0};
+  size_t base = start;
+  for (size_t p = start; p + 4 <= end; p += 16) {
+    if (p - base > 0xF000) {  // keep relative offsets in range
+      base = p;
+      memset(table, 0, sizeof(table));
+    }
+    uint32_t v = read32(src + p);
+    uint32_t h = (v * 0x9E3779B1u) >> 20;
+    size_t cand = base + table[h];
+    table[h] = (uint16_t)(p - base);
+    if (cand < p && p - cand <= kWindow && read32(src + cand) == v)
+      return false;  // found a sampled match: not random
+  }
+  return true;
+}
+
 // Encodes src[enc_start, src_len); bytes before enc_start are window
 // history only (for parallel parts and cross-block matches). `sync_end`
 // appends an empty non-final stored block and pads to a byte boundary
@@ -1745,23 +2388,50 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
       ts.lit_freq[256]++;
     } else {
       int lvl = level == -1 ? 6 : level;
+      if (lvl >= 2 && block_is_random(src, start, end)) {
+        emit_stored(bw, src, start, end - start, final_block);
+        if (bw.full) return ZT_ERR_DST_FULL;
+        continue;
+      }
       size_t hist_from = start > kWindow ? start - kWindow : 0;
       tokenize(src, start, end, lvl, ts, hist_from);
     }
 
-    // Incompressible shortcut: if the block is nearly all literals AND the
-    // literal entropy is ~8 bits/byte, stored wins — skip the Huffman build
-    // entirely (the reference's >=98%-literal rule, deflate.nim:275-277,
-    // plus an entropy check so HuffmanOnly-compressible text still codes).
+    // Incompressible shortcut + content-adaptive segmentation. Truly random
+    // blocks (>=98% literals at >=7.99 bits/byte) go straight to stored —
+    // no chunk of them can code (the reference's >=98%-literal rule,
+    // deflate.nim:275-277, tightened). Anything below that (e.g. JPEG with
+    // a codable header region at ~7.97 global entropy) reaches the
+    // segmentation pass, which splits the block where the symbol
+    // distribution shifts or stored beats coded. Segmentation always runs
+    // at levels >= 2 (the tokenizer dominates there); at level 1 only when
+    // the free heterogeneity signal fires, so BestSpeed text stays
+    // single-pass.
     size_t blen_early = end - start;
+    double lit_H = -1.0;
     if (level != -2 && ts.n_literals >= blen_early - blen_early / 50) {
-      double bits = 0;
-      double n_lit = (double)ts.n_literals;
-      for (int s2 = 0; s2 < 256; s2++)
-        if (ts.lit_freq[s2])
-          bits += ts.lit_freq[s2] *
-                  __builtin_log2(n_lit / ts.lit_freq[s2]);
-      if (bits >= n_lit * 7.8) {
+      lit_H = literal_entropy(ts.lit_freq, ts.n_literals);
+      if (lit_H >= 7.99) {
+        emit_stored(bw, src, start, blen_early, final_block);
+        if (bw.full) return ZT_ERR_DST_FULL;
+        continue;
+      }
+    }
+    if (level != -2) {
+      int lvl = level == -1 ? 6 : level;
+      bool want = lvl >= 2 || l1_heterogeneous(ts, blen_early);
+      if (want) {
+        SegmentedPlan sp;
+        int shift = lvl == 1 ? 14 : 13;
+        if (plan_segments(src, start, end, shift, ts, sp)) {
+          emit_segments(bw, src, sp, final_block);
+          if (bw.full) return ZT_ERR_DST_FULL;
+          continue;
+        }
+      }
+      // Single-chunk block that is near-all-literals and near-random:
+      // stored without a Huffman build (legacy 7.8 bits/byte rule).
+      if (lit_H >= 7.8) {
         emit_stored(bw, src, start, blen_early, final_block);
         if (bw.full) return ZT_ERR_DST_FULL;
         continue;
@@ -1982,24 +2652,40 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     // SINGLE deflate block — same block/header count as the single-threaded
     // encoder, so the split costs no ratio.
     int lvl = level == -1 ? 6 : level;
+    if (lvl >= 2 && block_is_random(src, 0, src_len)) {
+      BitWriter bw(dst, dst_cap);
+      emit_stored(bw, src, 0, src_len, true);
+      size_t out = bw.finish();
+      return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+    }
     std::vector<TokenStream> tss(nparts);
     std::vector<DynPlan> pplans(nparts);
     std::vector<uint64_t> part_dyn(nparts), part_fix(nparts);
-    CodeSet fix;
-    fixed_codeset(fix);
+    std::vector<SegmentedPlan> sps(nparts);
+    std::vector<char> has_sp(nparts, 0);
+    const CodeSet& fix = fixed_cs();
     pool.parallel_for(nparts, [&](size_t t) {
       size_t start = t * part;
       size_t end = std::min(start + part, src_len);
       size_t hist_from = start > (size_t)kWindow ? start - kWindow : 0;
       tokenize(src, start, end, lvl, tss[t], hist_from);
-      // Per-part plan (with the part's own EOB) for the split evaluation,
-      // computed here so planning parallelizes with tokenization.
-      plan_dynamic(tss[t].lit_freq, tss[t].dist_freq, pplans[t]);
-      part_dyn[t] = 3 + pplans[t].header_bits +
-                    huffman_cost_bits(tss[t], pplans[t].dyn.litlen_lens,
-                                      pplans[t].dyn.dist_lens);
-      uint64_t pfc = huffman_cost_bits(tss[t], fix.litlen_lens, fix.dist_lens);
-      part_fix[t] = pfc == UINT64_MAX ? UINT64_MAX : 3 + pfc;
+      // Per-part segmented plan (content-adaptive sub-blocks, exact costs)
+      // when the level policy wants it; single-block plan otherwise. Both
+      // parallelize with tokenization here.
+      bool want = lvl >= 2 || l1_heterogeneous(tss[t], end - start);
+      if (want) {
+        int shift = lvl == 1 ? 14 : 13;
+        has_sp[t] = plan_segments(src, start, end, shift, tss[t], sps[t]);
+      }
+      if (!has_sp[t]) {
+        plan_dynamic(tss[t].lit_freq, tss[t].dist_freq, pplans[t]);
+        part_dyn[t] = 3 + pplans[t].header_bits +
+                      huffman_cost_bits(tss[t], pplans[t].dyn.litlen_lens,
+                                        pplans[t].dyn.dist_lens);
+        uint64_t pfc =
+            huffman_cost_bits(tss[t], fix.litlen_lens, fix.dist_lens);
+        part_fix[t] = pfc == UINT64_MAX ? UINT64_MAX : 3 + pfc;
+      }
     });
 
     TokenStream merged;  // histogram container only (tokens stay per-part)
@@ -2011,17 +2697,12 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     merged.lit_freq[256] = 1;  // the shared block carries ONE EOB
 
     BitWriter bw(dst, dst_cap);
-    // Incompressible shortcut (same rule as deflate_impl).
-    bool use_stored = false;
-    if (merged.n_literals >= src_len - src_len / 50) {
-      double bits = 0;
-      double n_lit = (double)merged.n_literals;
-      for (int s2 = 0; s2 < 256; s2++)
-        if (merged.lit_freq[s2])
-          bits += merged.lit_freq[s2] *
-                  __builtin_log2(n_lit / merged.lit_freq[s2]);
-      use_stored = bits >= n_lit * 7.8;
-    }
+    // Incompressible shortcut (same truly-random rule as deflate_impl;
+    // near-random mixed content falls through to the per-part segmented
+    // split evaluation below).
+    bool use_stored =
+        merged.n_literals >= src_len - src_len / 50 &&
+        literal_entropy(merged.lit_freq, merged.n_literals) >= 7.99;
 
     DynPlan plan;
     uint64_t dyn_bits = UINT64_MAX, fix_bits = UINT64_MAX;
@@ -2045,14 +2726,19 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
     }
 
     // Per-part split alternative: mixed content (e.g. text + embedded
-    // binary) costs real bits under one shared code table. Plan each part
-    // with its OWN table (plus stored/fixed options) and take the split
-    // when it beats the shared single block; non-final parts sync-flush so
-    // stored parts stay byte-aligned.
+    // binary) costs real bits under one shared code table. Each part plans
+    // its own content-adaptive segments (or one own-table block) and the
+    // split wins when its exact total beats the shared single block;
+    // non-final parts sync-flush so stored blocks stay byte-aligned.
     {
       std::vector<int> pmode(nparts);          // 0 stored, 1 fixed, 2 dyn
       uint64_t split_bits = 40ull * (nparts - 1);  // sync flushes
       for (size_t t = 0; t < nparts; t++) {
+        if (has_sp[t]) {
+          split_bits += sps[t].total_bits;
+          pmode[t] = -1;  // segmented emission
+          continue;
+        }
         size_t blen = std::min(part, src_len - t * part);
         uint64_t ps = ((blen + kMaxStored - 1) / kMaxStored) * 5ull * 8 +
                       blen * 8ull + 10;
@@ -2069,7 +2755,9 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
           size_t blen = std::min(part, src_len - start);
           bool final_part = t == nparts - 1;
           BitWriter pbw(bufs[t].data(), bufs[t].size());
-          if (pmode[t] == 0) {
+          if (pmode[t] == -1) {
+            emit_segments(pbw, src, sps[t], final_part);
+          } else if (pmode[t] == 0) {
             emit_stored(pbw, src, start, blen, final_part);
           } else {
             pbw.add(final_part ? 1 : 0, 1);
