@@ -1147,6 +1147,75 @@ struct Matcher {
     head[h] = (int32_t)pos;
   }
 
+  // Record the strictly-lengthening candidate sequence for the optimal
+  // parser: out[] gets packed (len-3)<<16 | (dist-1) entries with
+  // increasing len and increasing dist, so for any target length the
+  // FIRST candidate reaching it has the cheapest distance. The 3-gram
+  // recency entry goes first (shortest possible distance).
+  inline int gather(size_t pos, int32_t cand, uint32_t* out, int cap) {
+    int cnt = 0;
+    int max_len = (int)std::min<size_t>(kMaxMatch, n - pos);
+    if (max_len < 3) return 0;
+    const uint8_t* scan = src + pos;
+    uint32_t first4 = read32(scan);
+    int best = 2;
+    int chain = cfg.chain;
+    while (best < max_len && best < cfg.nice && cnt < cap - 1 && cand >= 0 &&
+           (size_t)cand + kWindow > pos && chain-- > 0) {
+      if (read16(src + cand + best - 1) == read16(scan + best - 1) &&
+          read32(src + cand) == first4) {
+        int len = match_len(scan, src + cand, max_len);
+        if (len > best) {
+          out[cnt++] = ((uint32_t)(len - 3) << 16) | ((uint32_t)(pos - cand) - 1);
+          best = len;
+        }
+      }
+      int32_t nxt = prev[cand & pmask];
+      cand = ((size_t)nxt < (size_t)cand) ? nxt : -1;
+    }
+    // Merge the 3-gram recency candidate, preserving the invariant that
+    // candidates strictly increase in BOTH len and dist (so the first
+    // candidate reaching any target length has the cheapest distance).
+    // The recency slot can be stale (bulk insertions skip it), so a chain
+    // candidate may dominate it — e.g. on zero runs the chain holds
+    // (len 258, dist 1) while the slot holds (len 258, dist 258).
+    if (cand3 >= 0 && (size_t)cand3 < pos && (size_t)cand3 + kWindow > pos &&
+        ((read32(src + cand3) ^ first4) & 0xFFFFFF) == 0) {
+      int len3 = match_len(scan, src + cand3, max_len);
+      uint32_t d3 = (uint32_t)(pos - cand3);
+      if (len3 >= 4 || d3 <= 4096) {
+        uint32_t c3 = ((uint32_t)(len3 - 3) << 16) | (d3 - 1);
+        bool dominated = false;
+        for (int i = 0; i < cnt; i++) {
+          int li = (int)(out[i] >> 16) + 3;
+          uint32_t di = (out[i] & 0xFFFF) + 1;
+          if (li >= len3 && di <= d3) {
+            dominated = true;
+            break;
+          }
+        }
+        if (!dominated) {
+          // Drop chain candidates c3 dominates, insert c3 in len order.
+          int w = 0;
+          uint32_t merged[48];
+          int i = 0;
+          for (; i < cnt; i++) {
+            int li = (int)(out[i] >> 16) + 3;
+            uint32_t di = (out[i] & 0xFFFF) + 1;
+            if (li > len3) break;          // goes after c3
+            if (di > d3) continue;         // dominated by c3: drop
+            merged[w++] = out[i];
+          }
+          merged[w++] = c3;
+          for (; i < cnt; i++) merged[w++] = out[i];
+          memcpy(out, merged, w * sizeof(uint32_t));
+          cnt = w;
+        }
+      }
+    }
+    return cnt;
+  }
+
   inline void insert_span(size_t from, size_t to) {  // [from, to)
     size_t lim = n >= (size_t)kMinMatch ? n - kMinMatch + 1 : 0;
     for (size_t i = from; i < std::min(to, lim); i++) insert_bulk(i);
@@ -1301,8 +1370,163 @@ done:
   ts.lit_freq[256]++;
 }
 
+
+// ---------------------------------------------------------------------------
+// Near-optimal parse (levels 8-9): gather every strictly-lengthening match
+// candidate per position, then iterate a cost-model backward DP — parse
+// under estimated symbol costs, rebuild Huffman lengths from the parse,
+// re-parse under the refined costs. Two iterations land within a fraction
+// of a percent of the true optimum (libdeflate's approach); the serial
+// heuristics zlib/zippy use (lazy one-step deferral) leave 0.5-2% behind.
+// The reference has no counterpart (greedy only, lz77.nim:88-112).
+// ---------------------------------------------------------------------------
+
+void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
+                      TokenStream& ts, size_t hist_from) {
+  const LevelCfg cfg = kLevels[level];
+  const int iters = level >= 9 ? 3 : 2;
+  Matcher m(src, end, cfg);
+  m.insert_span(hist_from, start);
+
+  const size_t W = end - start;
+  thread_local std::vector<uint32_t> cands;
+  thread_local std::vector<uint32_t> coff;  // candidate range per position
+  cands.clear();
+  coff.assign(W + 1, 0);
+  uint32_t buf[48];
+  const int kCap = 40;
+  for (size_t pos = start; pos + kMinMatch <= end; pos++) {
+    int32_t cand = m.insert(pos);
+    int cnt = m.gather(pos, cand, buf, kCap);
+    coff[pos - start] = (uint32_t)cands.size();
+    for (int i = 0; i < cnt; i++) cands.push_back(buf[i]);
+    coff[pos - start + 1] = (uint32_t)cands.size();
+    // Run shortcut: inside a maximal match, candidates repeat; skip ahead
+    // inserting only (the DP takes the long match anyway).
+    if (cnt && ((buf[cnt - 1] >> 16) + 3) >= 250) {
+      size_t len = (buf[cnt - 1] >> 16) + 3;
+      size_t e = std::min(pos + len, end);
+      m.insert_span(pos + 1, e);
+      for (size_t q = pos + 1; q < e && q + kMinMatch <= end; q++)
+        coff[q - start + 1] = (uint32_t)cands.size();
+      pos = e - 1;  // ++ advances past
+      continue;
+    }
+  }
+  // Monotone fill: tail positions (and run-shortcut gaps) never gathered.
+  for (size_t q = 1; q <= W; q++)
+    if (coff[q] < coff[q - 1]) coff[q] = coff[q - 1];
+
+  // Cost tables, seeded from the fixed Huffman code (iteration 0).
+  uint16_t lit_cost[256], len_cost[256], dist_cost[30];
+  for (int i = 0; i < 144; i++) lit_cost[i] = 8;
+  for (int i = 144; i < 256; i++) lit_cost[i] = 9;
+  for (int l = 0; l < 256; l++) {
+    int li = kLenCode.idx[l];
+    len_cost[l] = (uint16_t)((257 + li < 280 ? 7 : 8) + kLengthExtra[li]);
+  }
+  for (int d = 0; d < 30; d++) dist_cost[d] = (uint16_t)(5 + kDistExtra[d]);
+
+  thread_local std::vector<uint32_t> cost;
+  thread_local std::vector<uint32_t> choice;
+  cost.assign(W + 1, 0);
+  choice.assign(W, 0);
+
+  for (int it = 0; it < iters; it++) {
+    // Backward DP.
+    for (size_t r = W; r-- > 0;) {
+      uint32_t c = lit_cost[src[start + r]] + cost[r + 1];
+      uint32_t ch = 0;
+      uint32_t lo = coff[r], hi = coff[r + 1];
+      int prev_hi = 2;
+      for (uint32_t k = lo; k < hi; k++) {
+        uint32_t packed = cands[k];
+        int len_k = (int)(packed >> 16) + 3;
+        uint32_t dist1 = packed & 0xFFFF;
+        uint16_t dc = dist_cost[kDistCode.code(dist1 + 1)];
+        if (len_k >= 250) {
+          // Forced long match: evaluating every shorter length is wasted
+          // work on runs.
+          size_t tgt = r + (size_t)len_k;
+          if (tgt <= W) {
+            uint32_t t = cost[tgt] + len_cost[len_k - 3] + dc;
+            if (t < c) {
+              c = t;
+              ch = ((uint32_t)(len_k - 3) << 16) | dist1;
+            }
+          }
+          prev_hi = len_k;
+          continue;
+        }
+        int cap_len = (int)std::min<size_t>(len_k, W - r);
+        for (int lp = prev_hi + 1; lp <= cap_len; lp++) {
+          uint32_t t = cost[r + lp] + len_cost[lp - 3] + dc;
+          if (t < c) {
+            c = t;
+            ch = ((uint32_t)(lp - 3) << 16) | dist1;
+          }
+        }
+        prev_hi = len_k;
+      }
+      cost[r] = c;
+      choice[r] = ch;
+    }
+    if (it + 1 == iters) break;
+    // Refine costs: trace the parse, rebuild optimal lengths, reprice.
+    uint32_t lf[286] = {0}, df[30] = {0};
+    size_t r = 0;
+    while (r < W) {
+      uint32_t ch = choice[r];
+      if (ch == 0) {
+        lf[src[start + r]]++;
+        r++;
+      } else {
+        int len = (int)(ch >> 16) + 3;
+        lf[257 + kLenCode.idx[len - 3]]++;
+        df[kDistCode.code((ch & 0xFFFF) + 1)]++;
+        r += len;
+      }
+    }
+    lf[256]++;
+    uint8_t ll[286], dl[30];
+    build_code_lengths(lf, 286, 15, ll);
+    build_code_lengths(df, 30, 15, dl);
+    for (int i = 0; i < 256; i++)
+      lit_cost[i] = ll[i] ? ll[i] : 13;  // unused: discourage, keep legal
+    for (int l = 0; l < 256; l++) {
+      int li = kLenCode.idx[l];
+      int sym = 257 + li;
+      len_cost[l] = (uint16_t)((ll[sym] ? ll[sym] : 13) + kLengthExtra[li]);
+    }
+    for (int d = 0; d < 30; d++)
+      dist_cost[d] = (uint16_t)((dl[d] ? dl[d] : 13) + kDistExtra[d]);
+  }
+
+  // Emit the final parse as tokens.
+  size_t r = 0, lit_from = 0;
+  while (r < W) {
+    uint32_t ch = choice[r];
+    if (ch == 0) {
+      r++;
+      continue;
+    }
+    if (r > lit_from)
+      flush_literal_run(ts, src, start + lit_from, start + r);
+    int len = (int)(ch >> 16) + 3;
+    emit_match(ts, len, (ch & 0xFFFF) + 1);
+    r += len;
+    lit_from = r;
+  }
+  if (W > lit_from) flush_literal_run(ts, src, start + lit_from, start + W);
+  ts.lit_freq[256]++;
+}
+
 void tokenize(const uint8_t* src, size_t start, size_t end, int level,
               TokenStream& ts, size_t hist_from) {
+  if (level >= 8) {
+    tokenize_optimal(src, start, end, level, ts, hist_from);
+    return;
+  }
   if (level == 1 && end - start > 4096) {
     // BestSpeed single-probe matcher; tiny inputs fall through to the
     // greedy hash chain below instead (zlib's deflate_fast quality at
