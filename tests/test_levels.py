@@ -41,14 +41,14 @@ def test_level_sizes_monotonic_enough(corpus_dir):
 
 @pytest.mark.parametrize("name", FILES)
 def test_ratio_vs_zlib(corpus_dir, name):
-    """Size gate per level vs CPython zlib (greedy zippy beats zlib at L1,
-    trails slightly at high levels; we must stay within a tight envelope)."""
+    """STRICT size gate: ours <= zlib at levels 1/6/9 for every corpus file
+    (margin 1.00). Sole exception: paper-100k.pdf at L1, where matching
+    zlib's chain-matcher quality on mixed content is incompatible with
+    BestSpeed's single-probe time budget (zippy's own L1 is farther behind
+    zlib there); it gets a documented 1.2% envelope."""
     data = (corpus_dir / name).read_bytes()
-    # Remaining >1.0 headroom is mixed-content block splitting (pdf/jpg);
-    # see native deflate TODO on sub-block stored segments.
-    # L1 margin 1.02: the single-probe BestSpeed matcher loses ~1.5% on
-    # mixed-content pdf; recover via sub-block stored splitting (TODO).
-    for level, margin in [(1, 1.02), (6, 1.005), (9, 1.01)]:
+    for level in (1, 6, 9):
+        margin = 1.012 if (level == 1 and name == "paper-100k.pdf") else 1.0
         ours = len(zippy_tpu.compress(data, level, dfDeflate))
         zl = len(zlib.compress(data, level)) - 6
         assert ours <= zl * margin, (
@@ -56,9 +56,27 @@ def test_ratio_vs_zlib(corpus_dir, name):
         )
 
 
+def test_ratio_vs_zlib_every_level(corpus_dir):
+    """Strict <=zlib sweep over every level 2..9 for a structurally diverse
+    subset (text, binary mix, runs, incompressible). Levels 1/6/9 over the
+    full list are covered by test_ratio_vs_zlib."""
+    import os
+
+    names = ["geo.protodata", "html", "kppkn.gtb", "fireworks.jpg"]
+    for extra in ("rfctest1.gold", "zerotest2.gold", "randtest2.gold"):
+        if (corpus_dir / extra).exists():
+            names.append(extra)
+    for name in names:
+        data = (corpus_dir / name).read_bytes()
+        for level in range(2, 10):
+            ours = len(zippy_tpu.compress(data, level, dfDeflate))
+            zl = len(zlib.compress(data, level)) - 6
+            assert ours <= zl, (name, level, ours, zl)
+
+
 def test_ratio_vs_reference_fixture(corpus_dir):
-    """Our best-level gzip should not exceed the recorded zippy fixture size
-    by more than the greedy-vs-lazy gap (fixtures: alice29 54,416 B)."""
+    """Our best-level gzip must beat the recorded zippy fixture size
+    (fixtures: alice29 54,416 B)."""
     for name in ["alice29.txt", "asyoulik.txt"]:
         data = (corpus_dir / name).read_bytes()
         fixture = (corpus_dir / (name + ".gz")).stat().st_size
@@ -67,7 +85,7 @@ def test_ratio_vs_reference_fixture(corpus_dir):
 
 
 def test_ratio_vs_all_fixtures(corpus_dir):
-    """Default-level output must stay within 1% + 16B of EVERY zippy fixture
+    """Default-level output must be <= EVERY zippy fixture, margin 1.00
     (the per-level size target, BASELINE.md). FNAME padding disabled so the
     randomized anti-oracle bytes don't blur the comparison."""
     import glob
@@ -85,5 +103,27 @@ def test_ratio_vs_all_fixtures(corpus_dir):
         fixture = os.path.getsize(gz)
         ours = len(gzip_format.write_member(raw, -1,
                                             random_name_padding=False))
-        assert ours <= fixture * 1.01 + 16, (os.path.basename(gz), ours,
-                                             fixture)
+        assert ours <= fixture, (os.path.basename(gz), ours, fixture)
+
+
+def test_output_identical_across_thread_counts(corpus_dir):
+    """The shared-planning parallel encoder derives its work-unit layout
+    from input size alone, so compressed output is byte-identical at every
+    ZT_THREADS setting."""
+    import subprocess
+    import sys as _sys
+
+    outs = set()
+    for th in ("1", "2", "3"):
+        code = (
+            "import sys, os; os.environ['ZT_THREADS']=%r;"
+            "sys.path.insert(0, '/root/repo');"
+            "import zippy_tpu as zt;"
+            "d=open(%r,'rb').read();"
+            "import hashlib;"
+            "print(hashlib.sha256(zt.compress(d, 6, zt.dfDeflate)).hexdigest())"
+        ) % (th, str(corpus_dir / "html"))
+        r = subprocess.run([_sys.executable, "-c", code],
+                           capture_output=True, text=True, check=True)
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, outs

@@ -739,6 +739,7 @@ struct BitWriter {
   void align_byte() {
     if (cnt & 7) add(0, 8 - (cnt & 7));
   }
+  int bit_pos_in_byte() const { return cnt & 7; }  // pos is whole bytes
   // Flush remaining whole bytes; returns final size in bytes.
   size_t finish() {
     align_byte();
@@ -855,6 +856,57 @@ int huffman_lengths_unlimited(const uint32_t* freq, const int* active, int na,
     }
   }
   return max_depth;
+}
+
+// Approximate length-limited lengths: unconstrained Huffman + zlib-style
+// overflow repair (tree.c gen_bitlen). A few bits above the package-merge
+// optimum in the overflow case — used for the segmentation planner's cost
+// EVALUATIONS (both sides of every comparison share the bias), never for
+// emitted plans. ~10x cheaper than package-merge on skewed histograms.
+void build_code_lengths_approx(const uint32_t* freq, int n, int limit,
+                               uint8_t* lens) {
+  memset(lens, 0, n);
+  int active[288];
+  int na = 0;
+  for (int i = 0; i < n; i++)
+    if (freq[i]) active[na++] = i;
+  if (na == 0) return;
+  if (na == 1) {
+    lens[active[0]] = 1;
+    return;
+  }
+  if (huffman_lengths_unlimited(freq, active, na, lens) <= limit) return;
+  // Clamp depths and repair the Kraft sum on the per-depth counts, then
+  // re-assign lengths to symbols in descending-frequency order.
+  int count[64] = {0};
+  for (int i = 0; i < na; i++)
+    count[std::min<int>(lens[active[i]], limit)]++;
+  // overflow units: each depth-d>limit leaf clamped to limit over-fills
+  // Kraft; repair zlib-style by demoting one leaf from the deepest
+  // non-empty level < limit (splits its slot into two at level+1).
+  long long kraft = 0;
+  for (int l = 1; l <= limit; l++)
+    kraft += (long long)count[l] << (limit - l);
+  while (kraft > (1LL << limit)) {
+    int bits = limit - 1;
+    while (count[bits] == 0) bits--;
+    count[bits]--;        // demote one leaf from depth `bits`...
+    count[bits + 1] += 2; // ...to bits+1, pairing it with...
+    count[limit]--;       // ...one leaf pulled up from the deepest level.
+    kraft -= 1;  // -2^(limit-bits) + 2*2^(limit-bits-1) - 1 = -1 (scaled)
+  }
+  // Assign: sort active by frequency descending, shortest codes first.
+  struct FS {
+    uint32_t f;
+    int sym;
+  };
+  FS order[288];
+  for (int i = 0; i < na; i++) order[i] = {freq[active[i]], active[i]};
+  std::sort(order, order + na,
+            [](const FS& a, const FS& b) { return a.f > b.f; });
+  int oi = 0;
+  for (int l = 1; l <= limit && oi < na; l++)
+    for (int k = 0; k < count[l] && oi < na; k++) lens[order[oi++].sym] = l;
 }
 
 void build_code_lengths(const uint32_t* freq, int n, int limit, uint8_t* lens) {
@@ -1220,6 +1272,18 @@ struct Matcher {
     size_t lim = n >= (size_t)kMinMatch ? n - kMinMatch + 1 : 0;
     for (size_t i = from; i < std::min(to, lim); i++) insert_bulk(i);
   }
+
+  // Pre-encode history seeding: the cost of fully inserting a 32 KiB
+  // window rivals tokenizing the unit itself, so seed the nearest 16 KiB
+  // at stride 2 (plus the last 256 bytes densely, where most cross-seam
+  // matches land). Deterministic — independent of thread schedule.
+  inline void seed_history(size_t hist_from, size_t start) {
+    size_t lim = n >= (size_t)kMinMatch ? n - kMinMatch + 1 : 0;
+    size_t from = start > hist_from + 16384 ? start - 16384 : hist_from;
+    size_t dense = start > from + 256 ? start - 256 : from;
+    for (size_t i = from; i < std::min(dense, lim); i += 2) insert_bulk(i);
+    for (size_t i = dense; i < std::min(start, lim); i++) insert_bulk(i);
+  }
 };
 
 void emit_match(TokenStream& ts, int len, uint32_t dist) {
@@ -1283,8 +1347,13 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
   thread_local std::vector<uint16_t> table;
   table.assign((size_t)1 << kFastBits, 0);
   auto fhash = [](uint32_t v) { return (v * 0x9E3779B1u) >> (32 - kFastBits); };
-  // Seed history (sparsely — every 2nd position is enough for BestSpeed).
-  for (size_t i = hist_from; i + kMinMatch <= start; i += 2)
+  // Seed history (sparsely — BestSpeed probes a direct-mapped table, so a
+  // stride-4 far region + stride-2 near region keeps nearly all the hits
+  // at half the seeding cost).
+  size_t near = start > hist_from + 8192 ? start - 8192 : hist_from;
+  for (size_t i = hist_from; i + kMinMatch <= near; i += 4)
+    table[fhash(read32(src + i))] = (uint16_t)i;
+  for (size_t i = near; i + kMinMatch <= start; i += 2)
     table[fhash(read32(src + i))] = (uint16_t)i;
   ts.tokens.reserve((end - start) / 8 + 16);
   ts.match_bytes32.assign(((end - start) >> 15) + 1, 0);
@@ -1383,8 +1452,13 @@ done:
 
 void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
                       TokenStream& ts, size_t hist_from) {
-  const LevelCfg cfg = kLevels[level];
+  // Effort ladder: L7 is the budget tier (shallow gather, few candidates —
+  // the DP recovers most of the parse win at a fraction of the chain-walk
+  // cost); L8/9 search deep.
+  LevelCfg cfg = kLevels[level];
+  if (level <= 7) cfg.chain = 64;
   const int iters = level >= 9 ? 3 : 2;
+  const int kCap = level <= 7 ? 16 : 40;
   Matcher m(src, end, cfg);
   m.insert_span(hist_from, start);
 
@@ -1394,7 +1468,6 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
   cands.clear();
   coff.assign(W + 1, 0);
   uint32_t buf[48];
-  const int kCap = 40;
   for (size_t pos = start; pos + kMinMatch <= end; pos++) {
     int32_t cand = m.insert(pos);
     int cnt = m.gather(pos, cand, buf, kCap);
@@ -1418,18 +1491,26 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
     if (coff[q] < coff[q - 1]) coff[q] = coff[q - 1];
 
   // Cost tables, seeded from the fixed Huffman code (iteration 0).
-  uint16_t lit_cost[256], len_cost[256], dist_cost[30];
+  // len_cost is uint32 (8-padded) so the DP inner loop can vector-add it
+  // against the cost[] suffix array with unaligned 256-bit loads.
+  uint16_t lit_cost[256], dist_cost[30];
+  alignas(32) uint32_t len_cost[264];
   for (int i = 0; i < 144; i++) lit_cost[i] = 8;
   for (int i = 144; i < 256; i++) lit_cost[i] = 9;
   for (int l = 0; l < 256; l++) {
     int li = kLenCode.idx[l];
-    len_cost[l] = (uint16_t)((257 + li < 280 ? 7 : 8) + kLengthExtra[li]);
+    len_cost[l] = (uint32_t)((257 + li < 280 ? 7 : 8) + kLengthExtra[li]);
   }
+  for (int l = 256; l < 264; l++) len_cost[l] = 0x3FFFFFFF;
   for (int d = 0; d < 30; d++) dist_cost[d] = (uint16_t)(5 + kDistExtra[d]);
 
   thread_local std::vector<uint32_t> cost;
   thread_local std::vector<uint32_t> choice;
-  cost.assign(W + 1, 0);
+  // 8 sentinel entries past cost[W] let the vector loop overread harmlessly
+  // (the sentinels are large enough to never win a min, small enough that
+  // adding a code length cannot overflow).
+  cost.assign(W + 9, 0x3FFFFFFF);
+  cost[W] = 0;
   choice.assign(W, 0);
 
   for (int it = 0; it < iters; it++) {
@@ -1459,7 +1540,40 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
           continue;
         }
         int cap_len = (int)std::min<size_t>(len_k, W - r);
-        for (int lp = prev_hi + 1; lp <= cap_len; lp++) {
+        int lp = prev_hi + 1;
+#if defined(__AVX2__)
+        if (cap_len - lp >= 7) {
+          // min(cost[r+lp] + len_cost[lp-3]) over the candidate's length
+          // range, 8 lanes at a time, tracking the achieving lp per lane.
+          __m256i vbest = _mm256_set1_epi32(0x7FFFFFFF);
+          __m256i vblp = _mm256_setzero_si256();
+          __m256i vlp = _mm256_add_epi32(
+              _mm256_set1_epi32(lp),
+              _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7));
+          const __m256i v8 = _mm256_set1_epi32(8);
+          for (; lp + 7 <= cap_len; lp += 8) {
+            __m256i vc = _mm256_loadu_si256((const __m256i*)&cost[r + lp]);
+            __m256i vl =
+                _mm256_loadu_si256((const __m256i*)&len_cost[lp - 3]);
+            __m256i vt = _mm256_add_epi32(vc, vl);
+            vbest = _mm256_min_epu32(vt, vbest);
+            __m256i upd = _mm256_cmpeq_epi32(vbest, vt);
+            vblp = _mm256_blendv_epi8(vblp, vlp, upd);
+            vlp = _mm256_add_epi32(vlp, v8);
+          }
+          alignas(32) uint32_t bv[8], bl[8];
+          _mm256_store_si256((__m256i*)bv, vbest);
+          _mm256_store_si256((__m256i*)bl, vblp);
+          for (int i = 0; i < 8; i++) {
+            uint32_t t = bv[i] + dc;
+            if (t < c) {
+              c = t;
+              ch = ((bl[i] - 3) << 16) | dist1;
+            }
+          }
+        }
+#endif
+        for (; lp <= cap_len; lp++) {
           uint32_t t = cost[r + lp] + len_cost[lp - 3] + dc;
           if (t < c) {
             c = t;
@@ -1523,7 +1637,7 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
 
 void tokenize(const uint8_t* src, size_t start, size_t end, int level,
               TokenStream& ts, size_t hist_from) {
-  if (level >= 8) {
+  if (level >= 7) {
     tokenize_optimal(src, start, end, level, ts, hist_from);
     return;
   }
@@ -1534,7 +1648,11 @@ void tokenize(const uint8_t* src, size_t start, size_t end, int level,
     tokenize_fast(src, start, end, ts, hist_from);
     return;
   }
-  const LevelCfg cfg = kLevels[level];
+  // Tiny-input quality floor: at <= 1 KiB the matcher cost is sub-us at
+  // any depth, so levels 1-4 borrow level 5's lazy config (a 20-byte
+  // header blob should never code worse at BestSpeed than at L5).
+  const bool tiny = end - start <= 1024;
+  const LevelCfg cfg = kLevels[tiny && level < 5 ? 5 : level];
   const size_t n = end;
   Matcher m(src, end, cfg);
   // Seed the window with history before the encode start (cross-boundary
@@ -1544,8 +1662,8 @@ void tokenize(const uint8_t* src, size_t start, size_t end, int level,
   size_t pos = start;
   size_t lit_start = start;
   int miss_streak = 0;
-  const bool skip_ahead = level == 1;
-  const bool lazy_eval = level >= 4;  // zlib deflate_slow territory
+  const bool skip_ahead = level == 1 && !tiny;
+  const bool lazy_eval = level >= 4 || tiny;  // zlib deflate_slow territory
 
   auto flush_literals = [&](size_t upto) {
     if (upto > lit_start) {
@@ -1970,9 +2088,16 @@ struct DynPlan {
 };
 
 void plan_dynamic(const uint32_t* lit_freq, const uint32_t* dist_freq,
-                  DynPlan& p) {
-  build_code_lengths(lit_freq, 286, 15, p.dyn.litlen_lens);
-  build_code_lengths(dist_freq, 30, 15, p.dyn.dist_lens);
+                  DynPlan& p, bool approx = false) {
+  // approx: Kraft-clamped lengths instead of package-merge — for the
+  // segmentation planner's cost comparisons only (never emitted).
+  if (approx) {
+    build_code_lengths_approx(lit_freq, 286, 15, p.dyn.litlen_lens);
+    build_code_lengths_approx(dist_freq, 30, 15, p.dyn.dist_lens);
+  } else {
+    build_code_lengths(lit_freq, 286, 15, p.dyn.litlen_lens);
+    build_code_lengths(dist_freq, 30, 15, p.dyn.dist_lens);
+  }
   if (!p.dyn.litlen_lens[256]) p.dyn.litlen_lens[256] = 15;
   {
     int nz = 0;
@@ -2105,15 +2230,18 @@ const CodeSet& fixed_cs() {
   return cs;
 }
 
+void zt_parallel_for(size_t n, const std::function<void(size_t)>& fn);
+
 // Exact cost (bits) of emitting one segment as its own block, with the mode
 // choice. freq arrays are WITHOUT the EOB count (added here). Fills `plan`
 // when dynamic wins.
 static uint64_t seg_exact_cost(const uint32_t* lf_noeob, const uint32_t* df,
-                               const ChunkMeta& m, DynPlan& plan, int& mode) {
+                               const ChunkMeta& m, DynPlan& plan, int& mode,
+                               bool approx = false) {
   uint32_t lf[286];
   memcpy(lf, lf_noeob, sizeof(lf));
   lf[256] += 1;
-  plan_dynamic(lf, df, plan);
+  plan_dynamic(lf, df, plan, approx);
   uint64_t body =
       huffman_cost_bits(lf, df, plan.dyn.litlen_lens, plan.dyn.dist_lens);
   uint64_t dyn_bits = 3 + plan.header_bits + body;
@@ -2150,11 +2278,12 @@ static size_t chunk_stats(const uint8_t* src, size_t start, size_t end,
                           const std::vector<uint32_t>& toks, int chunk_shift,
                           std::vector<uint32_t>& rtoks,
                           std::vector<ChunkMeta>& metas,
-                          std::vector<uint32_t>& freqs) {
+                          std::vector<uint32_t>& freqs,
+                          bool allow_single = false) {
   size_t blen = end - start;
   size_t csize = (size_t)1 << chunk_shift;
   size_t nchunks = (blen + csize - 1) >> chunk_shift;
-  if (nchunks < 2) return 0;
+  if (nchunks == 0 || (nchunks < 2 && !allow_single)) return 0;
   rtoks.clear();
   rtoks.reserve(toks.size() + nchunks);
   metas.assign(nchunks, ChunkMeta{});
@@ -2165,7 +2294,22 @@ static size_t chunk_stats(const uint8_t* src, size_t start, size_t end,
   size_t lim = std::min(start + csize, end);
   metas[0].byte_begin = start;
   metas[0].tok_begin = 0;
+  // Literal bytes are histogrammed into 4 stripes scoped to the current
+  // chunk (merged at chunk close): a single counter array serializes on
+  // store-to-load forwarding for repeated bytes, and this pass touches
+  // every literal byte of the block.
+  alignas(64) uint32_t s0[256] = {0}, s1[256] = {0}, s2[256] = {0},
+                       s3[256] = {0};
+  bool chunk_open = true;
   auto close_chunk = [&](size_t next_pos) {
+    uint32_t* lf = &freqs[c * kSegLitDist];
+    for (int s = 0; s < 256; s++) {
+      uint32_t v = s0[s] + s1[s] + s2[s] + s3[s];
+      if (v) {
+        lf[s] += v;
+        s0[s] = s1[s] = s2[s] = s3[s] = 0;
+      }
+    }
     metas[c].byte_end = next_pos;
     metas[c].tok_end = rtoks.size();
     c++;
@@ -2174,6 +2318,8 @@ static size_t chunk_stats(const uint8_t* src, size_t start, size_t end,
       metas[c].tok_begin = rtoks.size();
       size_t rel = next_pos - start;
       lim = std::min(start + (((rel >> chunk_shift) + 1) << chunk_shift), end);
+    } else {
+      chunk_open = false;  // reached end exactly; no successor chunk
     }
   };
   for (uint32_t t : toks) {
@@ -2194,8 +2340,14 @@ static size_t chunk_stats(const uint8_t* src, size_t start, size_t end,
       size_t run = t;
       while (run) {
         size_t take = std::min(run, lim - pos);
-        uint32_t* lf = &freqs[c * kSegLitDist];
-        for (size_t i = pos; i < pos + take; i++) lf[src[i]]++;
+        size_t i = pos;
+        for (; i + 4 <= pos + take; i += 4) {
+          s0[src[i]]++;
+          s1[src[i + 1]]++;
+          s2[src[i + 2]]++;
+          s3[src[i + 3]]++;
+        }
+        for (; i < pos + take; i++) s0[src[i]]++;
         metas[c].n_literals += take;
         rtoks.push_back((uint32_t)take);
         pos += take;
@@ -2204,7 +2356,7 @@ static size_t chunk_stats(const uint8_t* src, size_t start, size_t end,
       }
     }
   }
-  if (c < nchunks && metas[c].byte_begin < pos) close_chunk(pos);
+  if (chunk_open && c < nchunks && metas[c].byte_begin < pos) close_chunk(pos);
   return c;
 }
 
@@ -2214,7 +2366,7 @@ static size_t chunk_stats(const uint8_t* src, size_t start, size_t end,
 static void merge_and_plan(std::vector<uint32_t>& rtoks,
                            std::vector<ChunkMeta>& metas,
                            std::vector<uint32_t>& freqs, size_t n,
-                           SegmentedPlan& sp) {
+                           SegmentedPlan& sp, bool light = false) {
   // Prefix sums over the original chunk histograms: any range's histogram
   // is a 316-wide subtraction, so merges and splits never mutate state.
   std::vector<uint32_t> pf((n + 1) * kSegLitDist, 0);
@@ -2320,7 +2472,12 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
       return memo[slot].first;
     }
     const uint32_t* h = range_hist(a, b);
-    uint64_t bits = seg_exact_cost(h, h + 286, range_meta(a, b), plan, mode);
+    // Sweep comparisons use the Kraft-clamped approximation (both sides of
+    // every comparison share its small upward bias); only plans that will
+    // actually be emitted (need_plan) pay for exact package-merge.
+    uint64_t bits = seg_exact_cost(h, h + 286, range_meta(a, b), plan, mode,
+                                   /*approx=*/!need_plan);
+    if (need_plan) return bits;
     memo_b[slot] = b;
     memo[slot] = {bits, mode};
     return bits;
@@ -2358,7 +2515,7 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
   // that fool the greedy pairwise merge — each local merge looks fine, the
   // end-to-end shift does not — at ~2 exact evals per accepted split.
   bool split_any = false;
-  {
+  if (!light) {
     std::vector<std::pair<size_t, size_t>> stack(ranges.rbegin(),
                                                  ranges.rend());
     std::vector<std::pair<size_t, size_t>> done;
@@ -2407,18 +2564,27 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
 
   // Final exact plans per segment.
   sp.segs.clear();
-  sp.modes.clear();
-  sp.plans.clear();
-  sp.total_bits = 0;
-  for (auto [a, b] : ranges) {
-    DynPlan plan;
+  // Final exact plans, one package-merge per segment — independent, so they
+  // run on the pool (each builds its own histogram; the shared `tmp`
+  // scratch in range_hist is not thread-safe).
+  sp.segs.resize(ranges.size());
+  sp.modes.assign(ranges.size(), 0);
+  sp.plans.resize(ranges.size());
+  std::vector<uint64_t> rbits(ranges.size(), 0);
+  zt_parallel_for(ranges.size(), [&](size_t i) {
+    auto [a, b] = ranges[i];
+    uint32_t h[kSegLitDist];
+    const uint32_t* hi = &pf[b * kSegLitDist];
+    const uint32_t* lo = &pf[a * kSegLitDist];
+    for (int s = 0; s < kSegLitDist; s++) h[s] = hi[s] - lo[s];
     int mode;
-    uint64_t bits = exact_range(a, b, plan, mode, /*need_plan=*/true);
-    sp.segs.push_back(range_meta(a, b));
-    sp.modes.push_back(mode);
-    sp.plans.push_back(std::move(plan));
-    sp.total_bits += bits;
-  }
+    rbits[i] =
+        seg_exact_cost(h, h + 286, range_meta(a, b), sp.plans[i], mode);
+    sp.modes[i] = mode;
+    sp.segs[i] = range_meta(a, b);
+  });
+  sp.total_bits = 0;
+  for (uint64_t b : rbits) sp.total_bits += b;
   sp.rtoks = std::move(rtoks);
 }
 
@@ -2498,14 +2664,32 @@ static bool l1_heterogeneous(const TokenStream& ts, size_t blen) {
 // empirical entropy of genuinely random bytes reads low on small inputs
 // (7.986 on 12 KiB), which would send them through the segmentation
 // planner instead of the instant stored path.
+// log2 of small integers, precomputed: the entropy gates run one log per
+// distinct symbol on EVERY block; 256 libm calls were ~4 us per block,
+// visible on microsecond inputs. float precision (~1e-7 relative) is far
+// inside the 7.99-threshold margin.
+static const float* log2_tab() {
+  static const float* tab = [] {
+    static float t[1 << 16];
+    t[0] = 0.0f;
+    for (int i = 1; i < (1 << 16); i++) t[i] = (float)__builtin_log2(i);
+    return t;
+  }();
+  return tab;
+}
+static inline double log2_int(uint64_t v) {
+  return v < (1 << 16) ? (double)log2_tab()[v] : __builtin_log2((double)v);
+}
+
 static double literal_entropy(const uint32_t* lit_freq, size_t n_literals) {
   if (!n_literals) return 8.0;
   double bits = 0;
+  double log2n = log2_int(n_literals);
   double n = (double)n_literals;
   int distinct = 0;
   for (int s = 0; s < 256; s++)
     if (lit_freq[s]) {
-      bits += lit_freq[s] * __builtin_log2(n / lit_freq[s]);
+      bits += lit_freq[s] * (log2n - log2_int(lit_freq[s]));
       distinct++;
     }
   return bits / n + (distinct - 1) / (2.0 * n * 0.6931471805599453);
@@ -2521,29 +2705,9 @@ static double literal_entropy(const uint32_t* lit_freq, size_t n_literals) {
 static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
   size_t n = end - start;
   if (n < 4096) return false;
-  alignas(64) uint32_t h0[256] = {0}, h1[256] = {0}, h2[256] = {0},
-                       h3c[256] = {0};
-  size_t i = start;
-  for (; i + 4 <= end; i += 4) {
-    h0[src[i]]++;
-    h1[src[i + 1]]++;
-    h2[src[i + 2]]++;
-    h3c[src[i + 3]]++;
-  }
-  for (; i < end; i++) h0[src[i]]++;
-  double bits = 0;
-  int distinct = 0;
-  double dn = (double)n;
-  for (int s = 0; s < 256; s++) {
-    uint32_t f = h0[s] + h1[s] + h2[s] + h3c[s];
-    if (f) {
-      bits += f * __builtin_log2(dn / f);
-      distinct++;
-    }
-  }
-  double H = bits / dn + (distinct - 1) / (2.0 * dn * 0.6931471805599453);
-  if (H < 7.99) return false;
-  // Strided match sampler: 12-bit table of recent sampled positions.
+  // Strided match sampler first: compressible input almost always trips a
+  // sampled match within the first few probes, so the (full-histogram)
+  // entropy pass below only ever runs on genuinely match-free data.
   uint16_t table[4096] = {0};
   size_t base = start;
   for (size_t p = start; p + 4 <= end; p += 16) {
@@ -2558,7 +2722,29 @@ static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
     if (cand < p && p - cand <= kWindow && read32(src + cand) == v)
       return false;  // found a sampled match: not random
   }
-  return true;
+  alignas(64) uint32_t h0[256] = {0}, h1[256] = {0}, h2[256] = {0},
+                       h3c[256] = {0};
+  size_t i = start;
+  for (; i + 4 <= end; i += 4) {
+    h0[src[i]]++;
+    h1[src[i + 1]]++;
+    h2[src[i + 2]]++;
+    h3c[src[i + 3]]++;
+  }
+  for (; i < end; i++) h0[src[i]]++;
+  double bits = 0;
+  int distinct = 0;
+  double dn = (double)n;
+  double log2n = log2_int(n);
+  for (int s = 0; s < 256; s++) {
+    uint32_t f = h0[s] + h1[s] + h2[s] + h3c[s];
+    if (f) {
+      bits += f * (log2n - log2_int(f));
+      distinct++;
+    }
+  }
+  double H = bits / dn + (distinct - 1) / (2.0 * dn * 0.6931471805599453);
+  return H >= 7.99;
 }
 
 // Encodes src[enc_start, src_len); bytes before enc_start are window
@@ -2612,7 +2798,7 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
       ts.lit_freq[256]++;
     } else {
       int lvl = level == -1 ? 6 : level;
-      if (lvl >= 2 && block_is_random(src, start, end)) {
+      if (lvl >= 1 && block_is_random(src, start, end)) {
         emit_stored(bw, src, start, end - start, final_block);
         if (bw.full) return ZT_ERR_DST_FULL;
         continue;
@@ -2646,7 +2832,8 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
       bool want = lvl >= 2 || l1_heterogeneous(ts, blen_early);
       if (want) {
         SegmentedPlan sp;
-        int shift = lvl == 1 ? 14 : 13;
+        int shift =
+            lvl == 1 ? 14 : (end - start <= 96 * 1024 ? 12 : 13);
         if (plan_segments(src, start, end, shift, ts, sp)) {
           emit_segments(bw, src, sp, final_block);
           if (bw.full) return ZT_ERR_DST_FULL;
@@ -2733,27 +2920,49 @@ class WorkerPool {
       if (n == 1) fn(0);
       return;
     }
-    std::atomic<size_t> remaining((size_t)n - 1);
+    // Dynamic dispatch: every participant (the calling thread AND each
+    // helper) pulls the next index from a shared counter until the range
+    // is drained. This balances unequal task costs and, crucially, keeps
+    // the caller working when n exceeds the worker count (the pool has
+    // hw-1 workers; the caller is the remaining core).
+    auto state = std::make_shared<ParState>();
+    state->fn = &fn;
+    state->n = n;
+    size_t helpers = std::min(workers_.size(), n - 1);
     {
       std::lock_guard<std::mutex> lk(m_);
-      for (size_t t = 1; t < n; t++)
-        q_.push_back([&fn, t, &remaining, this] {
-          fn(t);
-          if (remaining.fetch_sub(1) == 1) {
-            std::lock_guard<std::mutex> lk2(done_m_);
-            done_cv_.notify_all();
-          }
+      for (size_t w = 0; w < helpers; w++)
+        q_.push_back([state, this] {
+          run_par(*state);
+          std::lock_guard<std::mutex> lk2(done_m_);
+          done_cv_.notify_all();
         });
     }
     pending_.store(true, std::memory_order_release);
     cv_.notify_all();
-    fn(0);
+    run_par(*state);  // caller participates
     for (int spin = 0; spin < 4000; spin++) {
-      if (remaining.load(std::memory_order_acquire) == 0) return;
+      if (state->done.load(std::memory_order_acquire) == n) return;
       __builtin_ia32_pause();
     }
     std::unique_lock<std::mutex> lk(done_m_);
-    done_cv_.wait(lk, [&] { return remaining.load() == 0; });
+    done_cv_.wait(lk, [&] { return state->done.load() == n; });
+  }
+
+  struct ParState {
+    const std::function<void(size_t)>* fn = nullptr;
+    size_t n = 0;
+    std::atomic<size_t> next{0};
+    std::atomic<size_t> done{0};
+  };
+
+  void run_par(ParState& st) {
+    for (;;) {
+      size_t i = st.next.fetch_add(1);
+      if (i >= st.n) return;
+      (*st.fn)(i);
+      st.done.fetch_add(1);
+    }
   }
 
  private:
@@ -2822,6 +3031,10 @@ class WorkerPool {
   bool stop_ = false;
 };
 
+void zt_parallel_for(size_t n, const std::function<void(size_t)>& fn) {
+  WorkerPool::instance().parallel_for(n, fn);
+}
+
 size_t deflate_bound(size_t n) {
   // n/6 slack covers HuffmanOnly (level -2) on incompressible data, which
   // cannot fall back to stored blocks (fixed literal codes are <= 9 bits,
@@ -2842,11 +3055,514 @@ unsigned zt_num_threads() {
   return n;
 }
 
+// Recompute a unit's TokenStream histograms from its (edited) tokens.
+static void rebuild_ts_stats(const uint8_t* src, size_t start,
+                             TokenStream& ts) {
+  memset(ts.lit_freq, 0, sizeof(ts.lit_freq));
+  memset(ts.dist_freq, 0, sizeof(ts.dist_freq));
+  ts.n_literals = 0;
+  ts.n_tokens_match = 0;
+  size_t pos = start;
+  for (uint32_t t : ts.tokens) {
+    if (t & 0x80000000u) {
+      uint32_t l = (t >> 16) & 0xFF;
+      ts.lit_freq[257 + kLenCode.idx[l]]++;
+      ts.dist_freq[kDistCode.code((t & 0xFFFF) + 1)]++;
+      ts.n_tokens_match++;
+      pos += l + 3;
+    } else {
+      for (uint32_t i = 0; i < t; i++) ts.lit_freq[src[pos + i]]++;
+      ts.n_literals += t;
+      pos += t;
+    }
+  }
+  ts.lit_freq[256]++;
+}
+
+// Shared-planning parallel deflate for inputs up to one encoder block
+// (4 MiB): tokenize fixed 32 KiB work units in parallel (unit count depends
+// only on input size, so output is BYTE-IDENTICAL at every thread count),
+// merge the per-unit chunk statistics, run ONE global content-adaptive
+// segmentation plan, then emit segments — large ones split at token
+// boundaries — in parallel and splice at exact bit positions. Compared to
+// per-part independent planning this never duplicates near-identical code
+// tables across parts and never pays forced part-boundary segment breaks;
+// the only multi-thread ratio cost left is the per-unit tokenizer seam
+// (a unit cannot extend a match past its end), a few bytes per seam.
+int64_t deflate_shared(const uint8_t* src, size_t src_len, int level,
+                       uint8_t* dst, size_t dst_cap) {
+#define ZT_TS(name)                                                       \
+  if (prof) {                                                             \
+    auto now = std::chrono::steady_clock::now();                          \
+    fprintf(stderr, "  [prof] %-10s %.3f ms\n", name,                     \
+            std::chrono::duration<double, std::milli>(now - prof_t).count()); \
+    prof_t = now;                                                         \
+  }
+  static const bool prof = getenv("ZT_PROF") != nullptr;
+  auto prof_t = std::chrono::steady_clock::now();
+  int lvl = level == -1 ? 6 : level;
+  BitWriter bw(dst, dst_cap);
+  if (lvl >= 1 && block_is_random(src, 0, src_len)) {
+    emit_stored(bw, src, 0, src_len, true);
+    size_t out = bw.finish();
+    return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+  }
+
+  ZT_TS("rand")
+  // Chunk granularity: 4 KiB chunks when the planner can afford them
+  // (small inputs have few chunks; large inputs amortize the planning) —
+  // 8 KiB in the 96-256 KiB band, where near-quadratic planner cost lands
+  // on the most latency-sensitive sizes and coarse boundaries already
+  // capture the structure.
+  const int shift =
+      lvl == 1 ? 14
+               : ((src_len <= 96 * 1024 ||
+                   (src_len > 256 * 1024 && src_len <= 512 * 1024))
+                      ? 12
+                      : 13);
+  // Work units: ~32 KiB apiece, rounded to an EVEN count (so 2^k-thread
+  // hosts divide them cleanly), each a whole number of chunks. The layout
+  // depends only on input size — output is byte-identical at every thread
+  // count.
+  const size_t csize = (size_t)1 << shift;
+  size_t nu = (src_len + 64 * 1024 - 1) / (64 * 1024) * 2;
+  size_t grain = ((src_len + nu - 1) / nu + csize - 1) & ~(csize - 1);
+  const size_t nunits = (src_len + grain - 1) / grain;
+
+  struct UnitOut {
+    TokenStream ts;
+    std::vector<uint32_t> rtoks;
+    std::vector<ChunkMeta> metas;
+    std::vector<uint32_t> freqs;
+    size_t nch = 0;
+  };
+  std::vector<UnitOut> uo(nunits);
+  std::vector<size_t> ustarts(nunits);
+  WorkerPool& pool = WorkerPool::instance();
+  // Round 1: tokenize, and (when segmentation planning is level policy,
+  // lvl >= 2) chunk statistics, fused in one pool round. At BestSpeed the
+  // heterogeneity gate is decided after tokenization, so chunk stats only
+  // run in the rare mixed-content case (second round below).
+  const bool seg_policy = lvl >= 2;
+  pool.parallel_for(nunits, [&](size_t u) {
+    size_t ustart = u * grain;
+    size_t uend = std::min(ustart + grain, src_len);
+    size_t hist_from = ustart > (size_t)kWindow ? ustart - kWindow : 0;
+    ustarts[u] = ustart;
+    tokenize(src, ustart, uend, lvl, uo[u].ts, hist_from);
+    if (seg_policy)
+      uo[u].nch = chunk_stats(src, ustart, uend, uo[u].ts.tokens, shift,
+                              uo[u].rtoks, uo[u].metas, uo[u].freqs,
+                              /*allow_single=*/true);
+  });
+
+  ZT_TS("round1")
+  // Seam repair (serial): a unit cannot extend its final match past its
+  // end, so runs and long matches break at every unit boundary (a unit of
+  // zeros ends with orphan literals the next unit's matcher would have
+  // covered, and the next unit restarts its match phase). Extend the last
+  // match of each unit as far as the data allows — across MULTIPLE units
+  // for long runs — re-split the covered span into maximal match tokens,
+  // and trim the consumed bytes off the following units' token streams
+  // (a shortened match keeps its distance; remnants under 3 bytes become
+  // literals). After this pass the token stream matches what a single
+  // serial tokenizer would emit at run boundaries.
+  std::vector<size_t> uends(nunits);
+  std::vector<char> dirty(nunits, 0);
+  for (size_t u = 0; u < nunits; u++)
+    uends[u] = std::min((u + 1) * grain, src_len);
+  for (size_t u = 0; u + 1 < nunits; u++) {
+    auto& toks = uo[u].ts.tokens;
+    if (toks.empty()) continue;
+    size_t uend = uends[u];
+    uint32_t last = toks.back();
+    size_t len;
+    uint32_t dist;
+    if (last & 0x80000000u) {
+      len = ((last >> 16) & 0xFF) + 3;
+      dist = (last & 0xFFFF) + 1;
+    } else if (last < 128 && toks.size() >= 2 &&
+               (toks[toks.size() - 2] & 0x80000000u)) {
+      // Trailing literal run (e.g. the 2-byte remnant of a long run that
+      // hit the unit end): if the previous match's distance also covers
+      // the run, it can seed a cross-seam match.
+      uint32_t run = last;
+      dist = (toks[toks.size() - 2] & 0xFFFF) + 1;
+      if ((size_t)dist > uend - run) continue;
+      bool covers = true;
+      for (size_t q = uend - run; q < uend; q++)
+        if (src[q] != src[q - dist]) {
+          covers = false;
+          break;
+        }
+      if (!covers) continue;
+      len = run;
+    } else {
+      continue;
+    }
+    size_t p = uend;
+    while (p < src_len && src[p] == src[p - dist]) p++;
+    size_t ext = p - uend;
+    if (!ext || len + ext < 3) continue;
+    // Small extensions barely change the stream (the next unit re-covers
+    // those bytes with its own matches at ~equal cost) but would force a
+    // statistics rebuild of both units; only long continuations — runs —
+    // are worth repairing.
+    if (ext < 64) continue;
+    // Re-split [uend - len, uend + ext) into maximal matches.
+    toks.pop_back();
+    size_t total = len + ext;
+    // Greedy split exactly as a serial tokenizer would: maximal matches,
+    // and a 1-2 byte tail as literals (the literal is already in the tree;
+    // a forced short match would add a fresh length symbol to the header).
+    for (size_t k = 0; k < total / (size_t)kMaxMatch; k++)
+      toks.push_back(0x80000000u | ((uint32_t)(kMaxMatch - 3) << 16) |
+                     (dist - 1));
+    size_t r = total % (size_t)kMaxMatch;
+    if (r > 3)
+      toks.push_back(0x80000000u | ((uint32_t)(r - 3) << 16) | (dist - 1));
+    else if (r)
+      toks.push_back((uint32_t)r);  // 1-3 byte tail as literals: a len-3
+                                    // match would add a fresh length symbol
+                                    // to the tree for ~no body savings
+    uends[u] = uend + ext;
+    dirty[u] = 1;
+    // Consume `ext` bytes from the front of the following units.
+    size_t e = ext;
+    for (size_t v = u + 1; v < nunits && e > 0; v++) {
+      size_t avail = uends[v] - ustarts[v];
+      size_t take_v = std::min(e, avail);
+      auto& nt = uo[v].ts.tokens;
+      size_t drop = 0;
+      size_t ev = take_v;
+      uint32_t partial[1];
+      int npartial = 0;
+      for (size_t t = 0; t < nt.size() && ev > 0; t++) {
+        uint32_t tok = nt[t];
+        size_t tb = (tok & 0x80000000u) ? (((tok >> 16) & 0xFF) + 3) : tok;
+        if (tb <= ev) {
+          ev -= tb;
+          drop++;
+        } else {
+          size_t rem = tb - ev;
+          if (tok & 0x80000000u) {
+            partial[0] = rem >= 3
+                             ? (0x80000000u | ((uint32_t)(rem - 3) << 16) |
+                                (tok & 0xFFFF))
+                             : (uint32_t)rem;
+          } else {
+            partial[0] = (uint32_t)rem;
+          }
+          npartial = 1;
+          ev = 0;
+          drop++;
+        }
+      }
+      nt.erase(nt.begin(), nt.begin() + drop);
+      if (npartial) nt.insert(nt.begin(), partial[0]);
+      ustarts[v] += take_v;
+      e -= take_v;
+      dirty[v] = 1;
+    }
+  }
+
+  ZT_TS("repair")
+  // Dirty units (those the seam repair touched): refresh their TokenStream
+  // histograms; on most inputs no unit is dirty at all.
+  for (size_t u = 0; u < nunits; u++)
+    if (dirty[u]) rebuild_ts_stats(src, ustarts[u], uo[u].ts);
+
+  // BestSpeed heterogeneity gate, decided on the repaired token streams:
+  // homogeneous text skips chunk statistics and segmentation entirely.
+  bool want_seg = seg_policy;
+  size_t n_literals_all = 0;
+  for (auto& u : uo) n_literals_all += u.ts.n_literals;
+  if (!want_seg) {
+    if (n_literals_all >= src_len - src_len / 20) {
+      want_seg = true;
+    } else {
+      double mn = 2.0, mx = -1.0;
+      for (size_t u = 0; u < nunits; u++) {
+        size_t ulen = uends[u] - ustarts[u];
+        if (ulen < 8192) continue;
+        uint64_t mbytes = 0;
+        for (uint32_t v : uo[u].ts.match_bytes32) mbytes += v;
+        double d = (double)mbytes / (double)ulen;
+        mn = std::min(mn, d);
+        mx = std::max(mx, d);
+      }
+      want_seg = mx - mn > 0.25;
+    }
+  }
+
+  // Chunk statistics for units that still need them: all units at L1 when
+  // heterogeneous, just the dirty ones otherwise.
+  {
+    std::vector<size_t> redo;
+    for (size_t u = 0; u < nunits; u++)
+      if (want_seg && (dirty[u] || !seg_policy)) redo.push_back(u);
+    if (!redo.empty())
+      pool.parallel_for(redo.size(), [&](size_t i) {
+        size_t u = redo[i];
+        uo[u].rtoks.clear();
+        uo[u].metas.clear();
+        uo[u].freqs.clear();
+        uo[u].nch =
+            chunk_stats(src, ustarts[u], uends[u], uo[u].ts.tokens, shift,
+                        uo[u].rtoks, uo[u].metas, uo[u].freqs,
+                        /*allow_single=*/true);
+      });
+  }
+
+  ZT_TS("cs2")
+  // Merge unit statistics into one global chunk sequence.
+  std::vector<uint32_t> rtoks;
+  std::vector<ChunkMeta> metas;
+  std::vector<uint32_t> freqs;
+  uint32_t lit[286] = {0};
+  uint32_t dfreq[30] = {0};
+  size_t n_literals = 0, n_match_tokens = 0;
+  if (want_seg) {
+    size_t total_rt = 0, total_ch = 0;
+    for (auto& u : uo) {
+      total_rt += u.rtoks.size();
+      total_ch += u.nch;
+    }
+    rtoks.reserve(total_rt);
+    metas.reserve(total_ch);
+    freqs.reserve(total_ch * kSegLitDist);
+    for (auto& u : uo) {
+      size_t off = rtoks.size();
+      rtoks.insert(rtoks.end(), u.rtoks.begin(), u.rtoks.end());
+      for (size_t c = 0; c < u.nch; c++) {
+        ChunkMeta m = u.metas[c];
+        m.tok_begin += off;
+        m.tok_end += off;
+        metas.push_back(m);
+      }
+      freqs.insert(freqs.end(), u.freqs.begin(),
+                   u.freqs.begin() + u.nch * kSegLitDist);
+    }
+  }
+  for (auto& u : uo) {
+    for (int i = 0; i < 286; i++) lit[i] += u.ts.lit_freq[i];
+    for (int i = 0; i < 30; i++) dfreq[i] += u.ts.dist_freq[i];
+    n_literals += u.ts.n_literals;
+    n_match_tokens += u.ts.n_tokens_match;
+  }
+  lit[256] = 1;  // single EOB in the merged single-block view
+  size_t nch = metas.size();
+
+  ZT_TS("mergestat")
+  // Truly-random stored shortcut (mirrors deflate_impl).
+  if (n_literals >= src_len - src_len / 50 &&
+      literal_entropy(lit, n_literals) >= 7.99) {
+    emit_stored(bw, src, 0, src_len, true);
+    size_t out = bw.finish();
+    return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+  }
+
+  ZT_TS("shortcut")
+  SegmentedPlan sp;
+  bool has_sp = false;
+  if (want_seg && nch >= 2) {
+    // BestSpeed planning skips the recursive split sweep: merges alone
+    // capture the stored/coded boundaries that matter at L1.
+    merge_and_plan(rtoks, metas, freqs, nch, sp, /*light=*/lvl == 1);
+    has_sp = !sp.segs.empty();
+  }
+
+  ZT_TS("plan")
+  struct EmitU {
+    int seg;           // index into sp.segs, or -1 for single-block mode
+    size_t t0, t1;     // token span [t0, t1) in the span's token array
+    size_t byte0;      // source byte position of the first token
+    size_t nlit, nmat; // literal bytes / match tokens in the span
+    int mode;          // 0 stored / 1 fixed / 2 dynamic
+    bool header, eob, fin;
+    size_t bytes = 0;           // source bytes covered by the span
+    const uint32_t* toks = nullptr;  // token array this span indexes
+  };
+  std::vector<EmitU> eus;
+  const uint32_t* emit_toks = rtoks.data();
+  DynPlan single_plan;
+  int single_mode = 0;
+  // Emission pieces come from precomputed boundaries (chunk metas or unit
+  // streams) — NOT from walking tokens, which costs real time on large
+  // token streams. All pieces of one segment share its code set, so the
+  // emitted bits are identical to a serial emission.
+  const size_t kEmitGrain = 96 * 1024;
+
+  if (has_sp) {
+    emit_toks = sp.rtoks.data();
+    size_t ci = 0;  // cursor into the global chunk metas
+    for (size_t i = 0; i < sp.segs.size(); i++) {
+      const ChunkMeta& m = sp.segs[i];
+      bool fin = i + 1 == sp.segs.size();
+      if (sp.modes[i] == 0) {
+        eus.push_back({(int)i, 0, 0, m.byte_begin, 0, 0, 0, true, false, fin});
+        while (ci < nch && metas[ci].tok_end <= m.tok_end) ci++;
+        continue;
+      }
+      // Group this segment's chunks into >= kEmitGrain-byte pieces.
+      bool first = true;
+      while (ci < nch && metas[ci].tok_begin < m.tok_end) {
+        EmitU U{(int)i, metas[ci].tok_begin, metas[ci].tok_end,
+                metas[ci].byte_begin, metas[ci].n_literals, metas[ci].n_match,
+                sp.modes[i], first, false, fin};
+        size_t bytes = metas[ci].byte_end - metas[ci].byte_begin;
+        ci++;
+        while (ci < nch && metas[ci].tok_begin < m.tok_end &&
+               bytes < kEmitGrain) {
+          U.t1 = metas[ci].tok_end;
+          U.nlit += metas[ci].n_literals;
+          U.nmat += metas[ci].n_match;
+          bytes += metas[ci].byte_end - metas[ci].byte_begin;
+          ci++;
+        }
+        U.eob = !(ci < nch && metas[ci].tok_begin < m.tok_end);
+        U.bytes = bytes;
+        eus.push_back(U);
+        first = false;
+      }
+    }
+  } else {
+    // Single block over the whole input: choose stored/fixed/dynamic by
+    // exact cost on the merged histograms.
+    plan_dynamic(lit, dfreq, single_plan);
+    uint64_t dyn_bits =
+        3 + single_plan.header_bits +
+        huffman_cost_bits(lit, dfreq, single_plan.dyn.litlen_lens,
+                          single_plan.dyn.dist_lens);
+    const CodeSet& fix = fixed_cs();
+    uint64_t fc = huffman_cost_bits(lit, dfreq, fix.litlen_lens, fix.dist_lens);
+    uint64_t fix_bits = fc == UINT64_MAX ? UINT64_MAX : 3 + fc;
+    uint64_t stored_bits =
+        ((src_len + kMaxStored - 1) / kMaxStored) * 5ull * 8 + src_len * 8ull +
+        7;
+    if (stored_bits < dyn_bits && stored_bits < fix_bits) {
+      emit_stored(bw, src, 0, src_len, true);
+      size_t out = bw.finish();
+      return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+    }
+    single_mode = fix_bits <= dyn_bits ? 1 : 2;
+    // One emission piece per unit, pointing straight at the unit's token
+    // stream: no concatenation, no token walk.
+    bool first = true;
+    for (size_t u = 0; u < nunits; u++) {
+      if (uo[u].ts.tokens.empty() && uends[u] == ustarts[u]) continue;
+      EmitU U{-1, 0, uo[u].ts.tokens.size(), ustarts[u],
+              uo[u].ts.n_literals, uo[u].ts.n_tokens_match, single_mode,
+              first, false, true};
+      U.bytes = uends[u] - ustarts[u];
+      U.toks = uo[u].ts.tokens.data();
+      eus.push_back(U);
+      first = false;
+    }
+    if (!eus.empty()) eus.back().eob = true;
+  }
+
+  if (getenv("ZT_DUMP")) {
+    fprintf(stderr, "nunits=%zu nch=%zu segs=%zu has_sp=%d\n", nunits, nch,
+            sp.segs.size(), (int)has_sp);
+    for (size_t c = 0; c < nch; c++)
+      fprintf(stderr, "chunk %zu tok[%u,%u) byte[%zu,%zu)\n", c,
+              (unsigned)metas[c].tok_begin, (unsigned)metas[c].tok_end,
+              metas[c].byte_begin, metas[c].byte_end);
+    for (size_t i = 0; i < sp.segs.size(); i++)
+      fprintf(stderr, "seg %zu mode %d tok[%u,%u) byte[%zu,%zu)\n", i,
+              sp.modes[i], (unsigned)sp.segs[i].tok_begin,
+              (unsigned)sp.segs[i].tok_end, sp.segs[i].byte_begin,
+              sp.segs[i].byte_end);
+    for (size_t e = 0; e < eus.size(); e++)
+      fprintf(stderr,
+              "eu %zu seg %d mode %d t[%zu,%zu) byte0 %zu bytes %zu hdr %d "
+              "eob %d fin %d\n",
+              e, eus[e].seg, eus[e].mode, eus[e].t0, eus[e].t1, eus[e].byte0,
+              eus[e].bytes, (int)eus[e].header, (int)eus[e].eob,
+              (int)eus[e].fin);
+  }
+  for (auto& U : eus)
+    if (!U.toks) U.toks = emit_toks;
+  ZT_TS("build_eus")
+  struct RawBuf {
+    std::unique_ptr<uint8_t[]> p;
+    size_t n = 0;
+    void alloc(size_t sz) {
+      p.reset(new uint8_t[sz]);
+      n = sz;
+    }
+    uint8_t* data() { return p.get(); }
+    size_t size() const { return n; }
+  };
+  std::vector<RawBuf> ebufs(eus.size());
+  std::vector<int64_t> ebits(eus.size(), 0);
+  pool.parallel_for(eus.size(), [&](size_t e) {
+    const EmitU& U = eus[e];
+    size_t span_bytes;
+    if (U.mode == 0) {
+      const ChunkMeta& m = sp.segs[U.seg];
+      span_bytes = m.byte_end - m.byte_begin;
+    } else {
+      span_bytes = U.bytes;
+    }
+    // 15-bit worst-case literals under a shared code + header slack.
+    ebufs[e].alloc(2 * span_bytes + 1024);
+    BitWriter pbw(ebufs[e].data(), ebufs[e].size());
+    if (U.mode == 0) {
+      const ChunkMeta& m = sp.segs[U.seg];
+      emit_stored(pbw, src, m.byte_begin, m.byte_end - m.byte_begin, U.fin);
+    } else {
+      const CodeSet& cs =
+          U.seg < 0 ? (single_mode == 1 ? fixed_cs() : single_plan.dyn)
+                    : (U.mode == 1 ? fixed_cs() : sp.plans[U.seg].dyn);
+      if (U.header) {
+        pbw.add(U.fin ? 1 : 0, 1);
+        pbw.add(U.mode == 1 ? 1 : 2, 2);
+        if (U.mode == 2)
+          emit_dynamic_header(pbw, U.seg < 0 ? single_plan : sp.plans[U.seg]);
+      }
+      emit_tokens_span(pbw, src, U.byte0, U.toks + U.t0, U.t1 - U.t0,
+                       U.nlit, U.nmat, cs, /*emit_eob=*/U.eob);
+    }
+    ebits[e] = pbw.full ? ZT_ERR_DST_FULL : (int64_t)pbw.finish_bits();
+  });
+
+  ZT_TS("emit")
+  for (size_t e = 0; e < eus.size(); e++) {
+    if (ebits[e] < 0) return ebits[e];
+    if (e > 0 && eus[e].mode == 0 && bw.bit_pos_in_byte() != 0) {
+      // Sync flush so the stored block's internal byte alignment (computed
+      // piece-locally) matches the stream. Emitted here by the splicing
+      // writer, which knows the true bit phase.
+      bw.add(0, 3);
+      bw.align_byte();
+      bw.add(0, 16);
+      bw.add(0xFFFF, 16);
+    }
+    bw.append_stream(ebufs[e].data(), (size_t)ebits[e]);
+  }
+  ZT_TS("splice")
+  size_t out = bw.finish();
+  return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
+}
+
 int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
                    size_t dst_cap) {
+  // Effort scaling: at the default level, small inputs get the optimal
+  // parse (level 7's budget DP) — a few ms at most at this size, and it
+  // compresses ~2-3% smaller than the lazy parse (strictly below zlib -6,
+  // where lazy alone leaves a handful of bytes on dense small files).
+  if ((level == 6 || level == -1) && src_len <= 36 * 1024) level = 7;
+  if (level == 0 || src_len < kMtMinInput)
+    return deflate_impl(src, src_len, level, dst, dst_cap);
+  // Shared-planning path is used at EVERY thread count (unit layout depends
+  // only on input size), so output is byte-identical under any ZT_THREADS.
+  if (src_len <= kMaxBlock && level != -2)
+    return deflate_shared(src, src_len, level, dst, dst_cap);
   unsigned hw = zt_num_threads();
   size_t max_parts = std::min<size_t>(hw, src_len / kMtMinPart);
-  if (level == 0 || src_len < kMtMinInput || max_parts < 2)
+  if (max_parts < 2)
     return deflate_impl(src, src_len, level, dst, dst_cap);
 
   size_t nparts = max_parts;
@@ -2869,168 +3585,6 @@ int64_t deflate_mt(const uint8_t* src, size_t src_len, int level, uint8_t* dst,
   std::vector<RawBuf> bufs(nparts);
   std::vector<int64_t> nbits(nparts, 0);
   WorkerPool& pool = WorkerPool::instance();
-
-  if (src_len <= kMaxBlock && level != -2) {
-    // Shared-code path: tokenize parts in parallel, build ONE code table
-    // from the merged histograms, serialize parts in parallel, splice into a
-    // SINGLE deflate block — same block/header count as the single-threaded
-    // encoder, so the split costs no ratio.
-    int lvl = level == -1 ? 6 : level;
-    if (lvl >= 2 && block_is_random(src, 0, src_len)) {
-      BitWriter bw(dst, dst_cap);
-      emit_stored(bw, src, 0, src_len, true);
-      size_t out = bw.finish();
-      return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
-    }
-    std::vector<TokenStream> tss(nparts);
-    std::vector<DynPlan> pplans(nparts);
-    std::vector<uint64_t> part_dyn(nparts), part_fix(nparts);
-    std::vector<SegmentedPlan> sps(nparts);
-    std::vector<char> has_sp(nparts, 0);
-    const CodeSet& fix = fixed_cs();
-    pool.parallel_for(nparts, [&](size_t t) {
-      size_t start = t * part;
-      size_t end = std::min(start + part, src_len);
-      size_t hist_from = start > (size_t)kWindow ? start - kWindow : 0;
-      tokenize(src, start, end, lvl, tss[t], hist_from);
-      // Per-part segmented plan (content-adaptive sub-blocks, exact costs)
-      // when the level policy wants it; single-block plan otherwise. Both
-      // parallelize with tokenization here.
-      bool want = lvl >= 2 || l1_heterogeneous(tss[t], end - start);
-      if (want) {
-        int shift = lvl == 1 ? 14 : 13;
-        has_sp[t] = plan_segments(src, start, end, shift, tss[t], sps[t]);
-      }
-      if (!has_sp[t]) {
-        plan_dynamic(tss[t].lit_freq, tss[t].dist_freq, pplans[t]);
-        part_dyn[t] = 3 + pplans[t].header_bits +
-                      huffman_cost_bits(tss[t], pplans[t].dyn.litlen_lens,
-                                        pplans[t].dyn.dist_lens);
-        uint64_t pfc =
-            huffman_cost_bits(tss[t], fix.litlen_lens, fix.dist_lens);
-        part_fix[t] = pfc == UINT64_MAX ? UINT64_MAX : 3 + pfc;
-      }
-    });
-
-    TokenStream merged;  // histogram container only (tokens stay per-part)
-    for (size_t t = 0; t < nparts; t++) {
-      for (int i = 0; i < 286; i++) merged.lit_freq[i] += tss[t].lit_freq[i];
-      for (int i = 0; i < 30; i++) merged.dist_freq[i] += tss[t].dist_freq[i];
-      merged.n_literals += tss[t].n_literals;
-    }
-    merged.lit_freq[256] = 1;  // the shared block carries ONE EOB
-
-    BitWriter bw(dst, dst_cap);
-    // Incompressible shortcut (same truly-random rule as deflate_impl;
-    // near-random mixed content falls through to the per-part segmented
-    // split evaluation below).
-    bool use_stored =
-        merged.n_literals >= src_len - src_len / 50 &&
-        literal_entropy(merged.lit_freq, merged.n_literals) >= 7.99;
-
-    DynPlan plan;
-    uint64_t dyn_bits = UINT64_MAX, fix_bits = UINT64_MAX;
-    if (!use_stored) {
-      plan_dynamic(merged.lit_freq, merged.dist_freq, plan);
-      dyn_bits = 3 + plan.header_bits +
-                 huffman_cost_bits(merged, plan.dyn.litlen_lens,
-                                   plan.dyn.dist_lens);
-      uint64_t fc = huffman_cost_bits(merged, fix.litlen_lens, fix.dist_lens);
-      fix_bits = fc == UINT64_MAX ? UINT64_MAX : 3 + fc;
-      uint64_t stored_bits =
-          ((src_len + kMaxStored - 1) / kMaxStored) * 5ull * 8 +
-          src_len * 8ull + 7;
-      use_stored = stored_bits < dyn_bits && stored_bits < fix_bits;
-    }
-
-    if (use_stored) {
-      emit_stored(bw, src, 0, src_len, true);
-      size_t out = bw.finish();
-      return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
-    }
-
-    // Per-part split alternative: mixed content (e.g. text + embedded
-    // binary) costs real bits under one shared code table. Each part plans
-    // its own content-adaptive segments (or one own-table block) and the
-    // split wins when its exact total beats the shared single block;
-    // non-final parts sync-flush so stored blocks stay byte-aligned.
-    {
-      std::vector<int> pmode(nparts);          // 0 stored, 1 fixed, 2 dyn
-      uint64_t split_bits = 40ull * (nparts - 1);  // sync flushes
-      for (size_t t = 0; t < nparts; t++) {
-        if (has_sp[t]) {
-          split_bits += sps[t].total_bits;
-          pmode[t] = -1;  // segmented emission
-          continue;
-        }
-        size_t blen = std::min(part, src_len - t * part);
-        uint64_t ps = ((blen + kMaxStored - 1) / kMaxStored) * 5ull * 8 +
-                      blen * 8ull + 10;
-        uint64_t best = std::min(ps, std::min(part_fix[t], part_dyn[t]));
-        pmode[t] = best == ps ? 0 : (best == part_fix[t] ? 1 : 2);
-        split_bits += best;
-      }
-      uint64_t shared_bits = std::min(dyn_bits, fix_bits);
-      if (split_bits < shared_bits) {
-        for (size_t t = 0; t < nparts; t++)
-          bufs[t].alloc(2 * std::min(part, src_len - t * part) + 512);
-        pool.parallel_for(nparts, [&](size_t t) {
-          size_t start = t * part;
-          size_t blen = std::min(part, src_len - start);
-          bool final_part = t == nparts - 1;
-          BitWriter pbw(bufs[t].data(), bufs[t].size());
-          if (pmode[t] == -1) {
-            emit_segments(pbw, src, sps[t], final_part);
-          } else if (pmode[t] == 0) {
-            emit_stored(pbw, src, start, blen, final_part);
-          } else {
-            pbw.add(final_part ? 1 : 0, 1);
-            pbw.add(pmode[t] == 1 ? 1 : 2, 2);
-            if (pmode[t] == 2) emit_dynamic_header(pbw, pplans[t]);
-            const CodeSet& pcs = pmode[t] == 1 ? fix : pplans[t].dyn;
-            emit_tokens(pbw, src, start, tss[t], pcs, /*emit_eob=*/true);
-          }
-          if (!final_part) {
-            pbw.add(0, 3);  // sync flush: empty non-final stored block
-            pbw.align_byte();
-            pbw.add(0, 16);
-            pbw.add(0xFFFF, 16);
-          }
-          nbits[t] = pbw.full ? ZT_ERR_DST_FULL : (int64_t)pbw.finish_bits();
-        });
-        for (size_t t = 0; t < nparts; t++) {
-          if (nbits[t] < 0) return nbits[t];
-          bw.append_stream(bufs[t].data(), (size_t)nbits[t]);
-        }
-        size_t out = bw.finish();
-        return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
-      }
-    }
-
-    const CodeSet& cs = fix_bits <= dyn_bits ? fix : plan.dyn;
-    for (size_t t = 0; t < nparts; t++) {
-      // Shared codes can be poor for a heterogeneous part: worst case is
-      // 15 bits per literal, so size for 2x rather than deflate_bound.
-      bufs[t].alloc(2 * std::min(part, src_len - t * part) + 512);
-    }
-    pool.parallel_for(nparts, [&](size_t t) {
-      size_t start = t * part;
-      BitWriter pbw(bufs[t].data(), bufs[t].size());
-      emit_tokens(pbw, src, start, tss[t], cs, /*emit_eob=*/false);
-      nbits[t] = pbw.full ? ZT_ERR_DST_FULL : (int64_t)pbw.finish_bits();
-    });
-
-    bw.add(1, 1);  // BFINAL: single block
-    bw.add(fix_bits <= dyn_bits ? 1 : 2, 2);
-    if (fix_bits > dyn_bits) emit_dynamic_header(bw, plan);
-    for (size_t t = 0; t < nparts; t++) {
-      if (nbits[t] < 0) return nbits[t];
-      bw.append_stream(bufs[t].data(), (size_t)nbits[t]);
-    }
-    bw.add(cs.litlen_codes[256], cs.litlen_lens[256]);  // end of block
-    size_t out = bw.finish();
-    return bw.full ? ZT_ERR_DST_FULL : (int64_t)out;
-  }
 
   for (size_t t = 0; t < nparts; t++)
     bufs[t].alloc(deflate_bound(std::min(part, src_len - t * part)) + 8);
