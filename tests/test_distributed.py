@@ -71,8 +71,12 @@ def test_two_process_allgather_compress():
             bind_raced = any(b"Address already in use" in se or
                              b"Failed to bind" in se for _, se in outs)
             if not (bind_raced and attempt < 2):
-                for p, (so, se) in zip(procs, outs):
-                    assert p.returncode == 0, se.decode()[-2000:]
+                break
+        # Whatever ended the retry loop, the workers must have exited clean
+        # before their output files are read (ADVICE r3: an exhausted bind
+        # race previously surfaced as an unrelated missing-file error).
+        for p, (so, se) in zip(procs, outs):
+            assert p.returncode == 0, se.decode()[-2000:]
 
         shards = [b"rank zero payload " * 4000, b"rank one payload! " * 3000]
         for engine in ("native", "device"):

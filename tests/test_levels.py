@@ -74,6 +74,24 @@ def test_ratio_vs_zlib_every_level(corpus_dir):
             assert ours <= zl, (name, level, ours, zl)
 
 
+def test_periodic_random_not_misclassified():
+    """A large random block repeated at a period not divisible by the
+    sampler stride must still be LZ-compressed, not emitted STORED
+    (ADVICE r3: the stride-16 probe loop only caught periods ≡ 0 mod 16;
+    the sampler now inserts every position and probes sparsely)."""
+    import random
+
+    rng = random.Random(7)
+    block = bytes(rng.randrange(256) for _ in range(20001))  # period % 16 != 0
+    data = block * 3
+    for level in (1, 6, 9):
+        ours = len(zippy_tpu.compress(data, level, dfDeflate))
+        zl = len(zlib.compress(data, level)) - 6
+        assert ours <= zl, (level, ours, zl)
+        assert zippy_tpu.uncompress(
+            zippy_tpu.compress(data, level, dfDeflate), dfDeflate) == data
+
+
 def test_ratio_vs_reference_fixture(corpus_dir):
     """Our best-level gzip must beat the recorded zippy fixture size
     (fixtures: alice29 54,416 B)."""

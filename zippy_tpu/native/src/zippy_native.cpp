@@ -1272,18 +1272,6 @@ struct Matcher {
     size_t lim = n >= (size_t)kMinMatch ? n - kMinMatch + 1 : 0;
     for (size_t i = from; i < std::min(to, lim); i++) insert_bulk(i);
   }
-
-  // Pre-encode history seeding: the cost of fully inserting a 32 KiB
-  // window rivals tokenizing the unit itself, so seed the nearest 16 KiB
-  // at stride 2 (plus the last 256 bytes densely, where most cross-seam
-  // matches land). Deterministic — independent of thread schedule.
-  inline void seed_history(size_t hist_from, size_t start) {
-    size_t lim = n >= (size_t)kMinMatch ? n - kMinMatch + 1 : 0;
-    size_t from = start > hist_from + 16384 ? start - 16384 : hist_from;
-    size_t dense = start > from + 256 ? start - 256 : from;
-    for (size_t i = from; i < std::min(dense, lim); i += 2) insert_bulk(i);
-    for (size_t i = dense; i < std::min(start, lim); i++) insert_bulk(i);
-  }
 };
 
 void emit_match(TokenStream& ts, int len, uint32_t dist) {
@@ -1405,17 +1393,32 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
         // Extend the match backward over trailing literals (the probe grid
         // lands mid-repeat on structured data; zlib's per-position chains
         // see the true start). A few byte compares per match buys ~0.5-1%
-        // ratio on mixed content.
-        while (len < kMaxMatch && pos > lit_start && cand > 0 &&
-               src[pos - 1] == src[cand - 1]) {
+        // ratio on mixed content. Extension continues past the 258 cap —
+        // the emitted length saturates and the rep-distance loop below
+        // covers the remainder with further matches.
+        while (pos > lit_start && cand > 0 && src[pos - 1] == src[cand - 1]) {
           pos--;
           cand--;
-          len++;
+          if (len < kMaxMatch) len++;
         }
         flush_literal_run4(ts, src, lit_start, pos, hh0, hh1, hh2, hh3);
-        emit_match(ts, len, (uint32_t)(pos - cand));
+        uint32_t d = (uint32_t)(pos - cand);
+        emit_match(ts, len, d);
         mb32[(pos - start) >> 15] += (uint32_t)len;
         size_t e = pos + (size_t)len;
+        // Rep-distance continuation: a maximal (258-byte) match almost
+        // always continues at the same distance; chaining directly skips
+        // the probe table, whose inserts are sparse after an
+        // incompressible gear phase (e.g. a large random block repeated —
+        // copy 1 ran at gear 16, so copy 2's probes would mostly miss).
+        while (len == kMaxMatch && e + 4 <= end &&
+               read32(src + e) == read32(src + e - d)) {
+          int rep_max = (int)std::min<size_t>(kMaxMatch, end - e);
+          len = match_len(src + e, src + e - d, rep_max);
+          emit_match(ts, len, d);
+          mb32[(e - start) >> 15] += (uint32_t)len;
+          e += (size_t)len;
+        }
         // Seed the table near the match end so back-to-back matches chain.
         if (e >= 2 && e - 2 + 4 <= end)
           table[fhash(read32(src + e - 2))] = (uint16_t)(e - 2);
@@ -1533,7 +1536,7 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
             uint32_t t = cost[tgt] + len_cost[len_k - 3] + dc;
             if (t < c) {
               c = t;
-              ch = ((uint32_t)(len_k - 3) << 16) | dist1;
+              ch = 0x80000000u | ((uint32_t)(len_k - 3) << 16) | dist1;
             }
           }
           prev_hi = len_k;
@@ -1568,7 +1571,7 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
             uint32_t t = bv[i] + dc;
             if (t < c) {
               c = t;
-              ch = ((bl[i] - 3) << 16) | dist1;
+              ch = 0x80000000u | ((bl[i] - 3) << 16) | dist1;
             }
           }
         }
@@ -1577,7 +1580,10 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
           uint32_t t = cost[r + lp] + len_cost[lp - 3] + dc;
           if (t < c) {
             c = t;
-            ch = ((uint32_t)(lp - 3) << 16) | dist1;
+            // Bit 31 flags a match: a len-3/dist-1 choice would otherwise
+            // pack to 0 and collide with the literal sentinel (the DP would
+            // account a match but the trace would emit literals).
+            ch = 0x80000000u | ((uint32_t)(lp - 3) << 16) | dist1;
           }
         }
         prev_hi = len_k;
@@ -1591,11 +1597,11 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
     size_t r = 0;
     while (r < W) {
       uint32_t ch = choice[r];
-      if (ch == 0) {
+      if (!(ch & 0x80000000u)) {
         lf[src[start + r]]++;
         r++;
       } else {
-        int len = (int)(ch >> 16) + 3;
+        int len = (int)((ch >> 16) & 0x7FFF) + 3;
         lf[257 + kLenCode.idx[len - 3]]++;
         df[kDistCode.code((ch & 0xFFFF) + 1)]++;
         r += len;
@@ -1620,13 +1626,13 @@ void tokenize_optimal(const uint8_t* src, size_t start, size_t end, int level,
   size_t r = 0, lit_from = 0;
   while (r < W) {
     uint32_t ch = choice[r];
-    if (ch == 0) {
+    if (!(ch & 0x80000000u)) {
       r++;
       continue;
     }
     if (r > lit_from)
       flush_literal_run(ts, src, start + lit_from, start + r);
-    int len = (int)(ch >> 16) + 3;
+    int len = (int)((ch >> 16) & 0x7FFF) + 3;
     emit_match(ts, len, (ch & 0xFFFF) + 1);
     r += len;
     lit_from = r;
@@ -2705,22 +2711,28 @@ static double literal_entropy(const uint32_t* lit_freq, size_t n_literals) {
 static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
   size_t n = end - start;
   if (n < 4096) return false;
-  // Strided match sampler first: compressible input almost always trips a
-  // sampled match within the first few probes, so the (full-histogram)
-  // entropy pass below only ever runs on genuinely match-free data.
+  // Match sampler first: compressible input almost always trips a sampled
+  // match within the first few probes, so the (full-histogram) entropy pass
+  // below only ever runs on genuinely match-free data. Every position's
+  // 4-gram is INSERTED (cheap hash+store) while only every 16th position
+  // probes — insert-sparse sampling detected only repeats whose period is
+  // ≡ 0 mod the stride (a >= 20 KiB random block repeated at any other
+  // period was misclassified random and emitted STORED at every level).
   uint16_t table[4096] = {0};
   size_t base = start;
-  for (size_t p = start; p + 4 <= end; p += 16) {
+  for (size_t p = start; p + 4 <= end; p++) {
     if (p - base > 0xF000) {  // keep relative offsets in range
       base = p;
       memset(table, 0, sizeof(table));
     }
     uint32_t v = read32(src + p);
     uint32_t h = (v * 0x9E3779B1u) >> 20;
-    size_t cand = base + table[h];
+    if (((p - start) & 15) == 0) {
+      size_t cand = base + table[h];
+      if (cand < p && p - cand <= kWindow && read32(src + cand) == v)
+        return false;  // found a sampled match: not random
+    }
     table[h] = (uint16_t)(p - base);
-    if (cand < p && p - cand <= kWindow && read32(src + cand) == v)
-      return false;  // found a sampled match: not random
   }
   alignas(64) uint32_t h0[256] = {0}, h1[256] = {0}, h2[256] = {0},
                        h3c[256] = {0};
