@@ -216,6 +216,20 @@ def _indexed_member_length(src: bytes, pos: int) -> int | None:
     return None
 
 
+def _is_zero_padding(src, pos: int) -> bool:
+    """True if src[pos:] is empty or all NUL (tar tools pad archives) —
+    chunked so an mmap'd archive never materializes its whole tail."""
+    mv = memoryview(src)
+    n = len(mv)
+    zeros = bytes(4096)
+    while pos < n:
+        end = min(pos + 4096, n)
+        if mv[pos:end] != zeros[: end - pos]:
+            return False
+        pos = end
+    return True
+
+
 def uncompress_parallel(src: bytes) -> bytes:
     """Decode a gzip stream; members listed in the ZT index decode on a
     thread pool (the native decoder releases the GIL). Falls back to the
@@ -230,13 +244,13 @@ def uncompress_parallel(src: bytes) -> bytes:
             return uncompress_gzip(src)
         spans.append((pos, mlen))
         pos += mlen
-        if src[pos:].strip(b"\x00") == b"":
+        if _is_zero_padding(src, pos):
             break
     if len(spans) <= 1:
         return uncompress_gzip(src)
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
         parts = list(ex.map(
-            lambda s: native_mod.gzip_uncompress(src[s[0] : s[0] + s[1]])[0],
+            lambda s: native_mod.gzip_uncompress(src, s[0])[0],
             spans,
         ))
     return b"".join(parts)
@@ -262,10 +276,9 @@ def concat_members(src: bytes, parts: list[bytes], pos: int) -> bytes:
     the members before `pos` already decoded into `parts`."""
     while True:
         # Trailing zero padding is tolerated (some tar tools pad archives).
-        rest = src[pos:]
-        if not rest or rest.strip(b"\x00") == b"":
+        if _is_zero_padding(src, pos):
             break
-        if len(rest) < 18 or rest[:2] != GZIP_MAGIC:
+        if len(src) - pos < 18 or bytes(src[pos : pos + 2]) != GZIP_MAGIC:
             raise ZippyError("Invalid gzip data (trailing garbage)")
         payload, consumed = native_mod.gzip_uncompress(src, pos)
         parts.append(payload)

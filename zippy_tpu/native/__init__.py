@@ -229,7 +229,7 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
         seg = bytearray(seg_cap * 32)
         sto = bytearray(sto_cap * 24)
         lens = bytearray(blk_cap * 318)
-        counts = bytearray(6 * 8)
+        counts = bytearray(7 * 8)
         rc = _pyzt.inflate_scan(data, start_bit, every, seg, sto, lens, counts)
         c = np.frombuffer(counts, dtype=np.int64)
         if rc == 0:
@@ -244,6 +244,7 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
                 "total_out": int(c[3]),
                 "end_bit": int(c[4]),
                 "max_depth": int(c[5]),
+                "adler": int(c[6]),
                 "every": every,
             }
         if rc == -2:  # caps exceeded; counts carry the exact sizes

@@ -434,7 +434,7 @@ PyObject* py_inflate_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     return nullptr;
   }
   int64_t rc;
-  if ((size_t)counts.len < 6 * sizeof(int64_t)) {
+  if ((size_t)counts.len < 7 * sizeof(int64_t)) {
     rc = -1;
     PyErr_SetString(PyExc_ValueError, "counts buffer too small");
   } else {

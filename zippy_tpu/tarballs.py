@@ -10,6 +10,7 @@ parse (:5-23), typeflags: file '0'/NUL, dir '5', symlink '2', GNU longname
 
 from __future__ import annotations
 
+import mmap
 import os
 import shutil
 
@@ -41,16 +42,26 @@ def _cstr(b: bytes) -> bytes:
     return b if nul < 0 else b[:nul]
 
 
-def _read_archive(tar_path: str | os.PathLike) -> bytes:
+def _read_archive(tar_path: str | os.PathLike):
+    """Memory-map the archive (reference tarballs.nim:42, std/memfiles).
+
+    A plain .tar is walked straight off the map — extract_all of a large
+    tarball holds ~0x the archive size beyond the page cache. A .tar.gz
+    decompresses from the map (native bindings take any buffer object), so
+    only the decoded copy is materialized."""
     with open(tar_path, "rb") as f:
-        data = f.read()
-    if len(data) < 2:
-        raise ZippyError("Invalid compressed data")
-    if data[0] == 31 and data[1] == 139:
-        # Member-parallel when the stream carries a ZT index; sequential
-        # (ISIZE-preallocating) otherwise.
-        return gzip_format.uncompress_parallel(data)
-    return data
+        size = os.fstat(f.fileno()).st_size
+        if size < 2:
+            raise ZippyError("Invalid compressed data")
+        m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    if m[0] == 31 and m[1] == 139:
+        try:
+            # Member-parallel when the stream carries a ZT index; sequential
+            # (ISIZE-preallocating) otherwise.
+            return gzip_format.uncompress_parallel(m)
+        finally:
+            m.close()
+    return m
 
 
 def iter_entries(tar_path: str | os.PathLike):
@@ -59,6 +70,14 @@ def iter_entries(tar_path: str | os.PathLike):
     Shared parse loop for extract_all and the in-memory v1 API.
     """
     data = _read_archive(tar_path)
+    try:
+        yield from _iter_entries_buf(data)
+    finally:
+        if isinstance(data, mmap.mmap):
+            data.close()
+
+
+def _iter_entries_buf(data):
     long_file_name: str | None = None
     pos = 0
     while pos < len(data):
