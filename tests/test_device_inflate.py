@@ -9,6 +9,8 @@ against CPython zlib/gzip ground truth across stream producers.
 
 import zlib
 
+import numpy as np
+
 import pytest
 
 from zippy_tpu import native
@@ -112,29 +114,89 @@ def test_scan_fuzz_never_crashes():
             pass
 
 
-def test_device_decode_corrupt_index_no_crash():
-    """A scan that survives corruption may yield a wrong-but-shaped index;
-    device decode must produce bytes (garbage is fine — the container crc
-    gates correctness) without crashing."""
+def test_device_decode_corrupt_never_silent():
+    """The raw-deflate integrity contract (VERDICT r3 item 2): a corrupted
+    stream either fails the scan (ZippyError), or — when the corruption
+    still parses as valid DEFLATE — the device decode must EQUAL the serial
+    host decode (the adler gate guarantees it), exactly like the reference's
+    raise-on-malformed / bytes-on-valid contract (inflate.nim:77-82).
+    Silent divergence between device and host decode is impossible."""
     import random
 
     random.seed(13)
     data = _fixture("randtest3.gold")
     blob = bytearray(native.deflate(data, 6))
-    done = 0
+    decoded = 0
     for _ in range(60):
-        b = bytearray(blob)
-        b[random.randrange(16, len(b))] ^= 1 << random.randrange(8)
+        b = bytes_mut = bytearray(blob)
+        bytes_mut[random.randrange(16, len(b))] ^= 1 << random.randrange(8)
+        b = bytes(bytes_mut)
         try:
-            idx = idev.build_decode_index(bytes(b))
+            idx = idev.build_decode_index(b)
         except ZippyError:
             continue
         if idx["total_out"] > 4 * len(data):
             continue  # don't allocate for absurd corrupt claims in tests
-        out = idev.inflate_device(bytes(b), idx)
-        assert isinstance(out, bytes)
-        done += 1
-    assert done > 0
+        out = idev.inflate_device(b, idx)  # verify=True default
+        host, _ = native.inflate(b)
+        assert out == host
+        decoded += 1
+    assert decoded > 0
+
+
+def test_device_decode_verify_gate_fires():
+    """A decode whose output diverges from the scan's serial decode must
+    raise: corrupt the recorded adler and check the gate trips."""
+    data = _fixture("alice29.txt")
+    blob = native.deflate(data, 6)
+    idx = idev.build_decode_index(blob)
+    idx = dict(idx)
+    idx["adler"] ^= 0x1234
+    with pytest.raises(ZippyError):
+        idev.inflate_device(blob, idx)
+
+
+def test_multi_tile_stream():
+    """A stream larger than one S tile must chain tiles through the halo
+    (cross-tile matches read the carried 32 KiB window) and still verify."""
+    base = _fixture("urls.10K")
+    data = (base * 6)[: 3 * idev.CFG_S.tile_out + 12345]
+    blob = zlib.compress(data, 6)[2:-4]
+    idx = idev.build_decode_index(blob)
+    tiles = idev._plan_tiles(idx, idev._pick_cfg(idx["total_out"]))
+    assert len(tiles) >= 2
+    assert idev.inflate_device(blob, idx) == data
+
+
+def test_tile_planner_capacity_cuts():
+    """Pathological shapes: many tiny stored blocks and literal-dense
+    streams must cut tiles on the binding capacity, never overflow."""
+    # All-literal (HuffmanOnly) stream: densest token stream possible.
+    data = bytes(np.random.default_rng(3).integers(0, 256, 300_000,
+                                                   dtype=np.uint8))
+    blob = native.deflate(data, -2)
+    assert idev.inflate_device(blob) == data
+    # Stored-only stream (level 0): spans + words bound the tiles.
+    blob0 = native.deflate(data, 0)
+    assert idev.inflate_device(blob0) == data
+
+
+def test_inflate_device_array_surface():
+    data = _fixture("geo.protodata")
+    blob = native.deflate(data, 6)
+    arr, total = idev.inflate_device_array(blob)
+    assert total == len(data)
+    assert bytes(np.asarray(arr)[:total].tobytes()) == data
+
+
+def test_warmup_compiles_and_counts():
+    n = idev.warmup(max_bytes=1 << 20)
+    assert n >= 1
+    # Warm path: a decode right after warmup must not need a new executable
+    # (same-config dispatch); just assert it still round-trips.
+    data = _fixture("rfctest3.gold")
+    blob = native.deflate(data, 6)
+    assert idev.inflate_device(blob) == data
 
 
 def test_sharded_decode_byte_identity():

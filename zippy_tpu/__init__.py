@@ -40,9 +40,29 @@ from .common import (
 
 __version__ = "0.1.0"
 
+
+def warmup(max_bytes: int = 16 << 20, levels=(1, -1), decode: bool = True,
+           encode: bool = True, mesh=None) -> int:
+    """Pre-compile the device codec executables so no user-facing call ever
+    hits a cold XLA compile (remote compiles on detached TPU runtimes cost
+    40 s – minutes per shape; reference bar: usable from the first call,
+    zippy.nim:11). The tiled decode needs at most two executables for ANY
+    stream size; each encode level costs ~6. Compiles also land in the
+    persistent cache (~/.cache/zippy_tpu_jax), so a warmed machine stays
+    warm across processes. Returns the number of executables compiled."""
+    from .ops import deflate_device, inflate_device
+
+    n = 0
+    if decode:
+        n += inflate_device.warmup(max_bytes=max_bytes, mesh=mesh)
+    if encode:
+        n += deflate_device.warmup(levels=levels, mesh=mesh)
+    return n
+
 __all__ = [
     "compress",
     "uncompress",
+    "warmup",
     "compress_indexed",
     "uncompress_parallel",
     "ZipArchiveReader",

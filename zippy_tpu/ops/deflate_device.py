@@ -742,6 +742,59 @@ def deflate_array(x, level: int, block_size: int = BLOCK) -> bytes:
     return bytes(out.out)
 
 
+def warmup(levels=(1, -1), single_block: bool = False, mesh=None) -> int:
+    """Pre-compile the device encode pipeline for the given levels.
+
+    One (find_tokens, pack_tokens) executable pair compiles per
+    (k, group_size) combination — the full grid for a level is 3 group
+    sizes, so a level costs ~6 executables, compiled here once instead of
+    as multi-minute stalls on the first real call (remote XLA compiles on
+    detached TPU runtimes cost 40 s – minutes per shape; see
+    ops/inflate_device.warmup for the decode side). `single_block=True`
+    additionally compiles the hist=0 variants used for inputs under one
+    block. With `mesh`, the sharded shard_map variants from
+    parallel/blocks compile instead. Returns the executable count."""
+    import numpy as np
+
+    n = 0
+    seen = set()
+    for level in levels:
+        k, lazy = _level_params(level)
+        if (k, lazy) in seen:
+            continue
+        seen.add((k, lazy))
+        hists = [HIST] + ([0] if single_block else [])
+        for hist in hists:
+            for gsize in _group_sizes(k):
+                if mesh is not None:
+                    gsize *= mesh.devices.size
+                blocks = jnp.zeros((gsize, hist + BLOCK + PAD), jnp.uint8)
+                lens = jnp.full(gsize, BLOCK, jnp.int32)
+                hl = jnp.zeros(gsize, jnp.int32)
+                if mesh is not None:
+                    from ..parallel import blocks as pb
+
+                    toks = pb._find_tokens_sharded(
+                        blocks, lens, hl, mesh=mesh, k=k, lazy=lazy,
+                        hist=hist)
+                else:
+                    toks = _find_tokens_batch(blocks, lens, hl, k=k,
+                                              lazy=lazy, hist=hist)
+                ll_lens = jnp.zeros((gsize, 286), jnp.int32)
+                ll_codes = jnp.zeros((gsize, 286), jnp.uint32)
+                d_lens = jnp.zeros((gsize, 30), jnp.int32)
+                d_codes = jnp.zeros((gsize, 30), jnp.uint32)
+                if mesh is not None:
+                    out = pb._pack_tokens_sharded(
+                        toks, ll_lens, ll_codes, d_lens, d_codes, mesh=mesh)
+                else:
+                    out = _pack_tokens_batch(toks, ll_lens, ll_codes,
+                                             d_lens, d_codes)
+                jax.block_until_ready(out)
+                n += 2
+    return n
+
+
 def _level_params(level: int) -> tuple[int, bool]:
     """Candidate count + lazy flag per level (the device analogue of zlib's
     good/lazy/nice/chain rows, reference internal.nim:177-189). k candidates
