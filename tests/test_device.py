@@ -76,6 +76,85 @@ def test_device_ratio_near_native_with_history():
     assert len(blob) <= len(native.deflate(text, 6)) * 1.03
 
 
+@pytest.mark.parametrize("name", ["alice29.txt", "urls.10K",
+                                  "geo.protodata", "paper-100k.pdf"])
+def test_device_ratio_gate_levels(name):
+    """VERDICT r3 item 5: the device encoder is ratio-gated at the speed
+    (L1), default (L6) and quality (L9) tiers against zlib's sizes on the
+    full corpus files — not just L6. Margins: the device L1 parse BEATS
+    zlib L1 on 3 of 4 files (within 0.5% on the mixed-binary pdf); L6/L9
+    stay within 3%/2.5% (reference quality bars: snappy.nim:138 BestSpeed
+    token stream, lz77 minMatch-3 chains at the quality tiers)."""
+    data = open(f"/root/reference/tests/data/{name}", "rb").read()
+    margins = {1: 1.005, 6: 1.03, 9: 1.025}
+    for level, margin in margins.items():
+        blob = dd.deflate(data, level)
+        assert zlib.decompress(blob, wbits=-15) == data
+        zl = len(zlib.compress(data, level)) - 6
+        assert len(blob) <= zl * margin, (name, level, len(blob), zl)
+
+
+def test_device_fixed_mode_blocks_decode():
+    """Small low-entropy blocks pick FIXED mode on device; the fixed codes
+    must be the 288-symbol RFC table (symbols 286/287 shift the canonical
+    codes of 280-285 — regression: recomputing canonically from the
+    286-sliced lengths miscoded long-match symbols)."""
+    for i in range(4):
+        part = ((b"zippy tpu block %d " % i) * 120)[:2048]
+        blob = dd.deflate(part, 6, block_size=2048)
+        assert zlib.decompress(blob, wbits=-15) == part
+        # multi-block with the same content: fixed-mode + history path
+        data = part * 4
+        blob = dd.deflate(data, 6, block_size=2048)
+        assert zlib.decompress(blob, wbits=-15) == data
+
+
+def test_kraft_lengths_always_valid_and_near_optimal():
+    """The on-device Huffman builder must ALWAYS produce a decodable code:
+    Kraft sum exactly 1 for >= 2 active symbols (zlib rejects incomplete
+    litlen codes), a single length-1 code for 1 symbol, lengths in
+    [1, limit]. Fuzzed over adversarial histogram shapes; total bits gated
+    within 1% of the optimal package-merge assignment."""
+    rng = np.random.default_rng(42)
+    cases = []
+    for _ in range(40):
+        s = int(rng.integers(2, 287))
+        freq = np.zeros(286, np.int64)
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            freq[:s] = rng.integers(1, 1000, s)
+        elif kind == 1:  # zipf-ish (typical literals)
+            freq[:s] = (10000 / (1 + np.arange(s))).astype(np.int64) + 1
+        elif kind == 2:  # one dominant symbol
+            freq[:s] = 1
+            freq[0] = 100000
+        else:  # powers of two (exact-depth edge cases)
+            freq[:s] = 2 ** rng.integers(0, 16, s)
+        rng.shuffle(freq)
+        cases.append(freq)
+    cases.append(np.eye(286, dtype=np.int64)[3] * 7)  # single active symbol
+    for limit in (15, 7):
+        for freq in cases:
+            if limit == 7:
+                freq = freq[:19]
+            lens = np.asarray(dd._kraft_lengths(
+                jax.numpy.asarray(freq.astype(np.int32)), limit))
+            active = freq > 0
+            assert (lens[~active] == 0).all()
+            assert (lens[active] >= 1).all() and (lens[active] <= limit).all()
+            kraft = (2.0 ** -lens[active].astype(np.float64)).sum()
+            if active.sum() >= 2:
+                assert abs(kraft - 1.0) < 1e-12, (limit, kraft)
+                opt = dd.build_code_lengths(freq, limit)
+                bits = (freq * lens).sum()
+                bits_opt = (freq * opt).sum()
+                assert bits <= bits_opt * 1.01 + 16, (bits, bits_opt)
+            elif active.sum() == 1:
+                assert lens[active].sum() == 1
+            else:
+                assert lens.sum() == 0
+
+
 def test_find_tokens_token_cover():
     data = _mixed_payload(SMALL)
     pad = np.zeros(SMALL + dd.PAD, np.uint8)

@@ -4,14 +4,14 @@ The reference is single-threaded; its 4 MiB block loop (deflate.nim:228-237)
 is the natural parallelism seam. Here each mesh device runs the FULL device
 pipeline (ops/deflate_device.py: sort-based match finding with 32 KiB
 cross-block history, pointer-doubling token select, prefix-sum bit pack)
-on a contiguous run of blocks under shard_map. Per-block symbol histograms
-come back to the host (tiny: 316 ints per block — the only all-gather the
-problem needs, SURVEY §5), the host builds per-block Huffman tables and the
-stored/fixed/dynamic choice exactly like the single-process path
-(reference block emission deflate.nim:280-394), then a second sharded
-dispatch bit-packs with those tables. The host splices the ragged bitstreams
-in block order, so the N-device output is byte-identical to the 1-device
-output AND to ops.deflate_device.deflate at every level.
+on a contiguous run of blocks under shard_map — including the Huffman
+table construction and stored/fixed/dynamic mode choice, which run ON
+DEVICE (ops/deflate_device.encode_block), so each group is ONE sharded
+dispatch with no mid-pipeline host sync (VERDICT r3 item 6). The host
+fetches only the packed words + tiny per-block length arrays and splices
+the ragged bitstreams in block order (reference block emission
+deflate.nim:280-394), so the N-device output is byte-identical to the
+1-device output AND to ops.deflate_device.deflate at every level.
 
 Container checksums are computed block-parallel on device too (raw-space
 CRC rows + GF(2) combine, per-block adler + adler32_combine) — the host
@@ -43,41 +43,29 @@ def default_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "lazy", "hist"))
-def _find_tokens_sharded(blocks, lens, hist_lens, *, mesh: Mesh, k: int,
-                         lazy: bool, hist: int):
-    """Phase 1 sharded: match + select + histograms, one shard of blocks per
-    device. Pure map — no communication."""
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "k", "lazy", "hist", "min3"))
+def _encode_group_sharded(blocks, lens, hist_lens, *, mesh: Mesh, k: int,
+                          lazy: bool, hist: int, min3: bool = False):
+    """The WHOLE per-block encode sharded: match + select + on-device
+    Huffman build + mode choice + bit pack in ONE dispatch per group.
+    Pure map over blocks — no communication, no mid-pipeline host sync
+    (VERDICT r3 item 6; SURVEY §7 step 3)."""
 
     def per_shard(blocks_l, lens_l, hist_l):
         return jax.vmap(
-            lambda d, n, hl: dd.find_tokens(d, n, hl, k=k, lazy=lazy,
-                                            hist=hist)
+            lambda d, n, hl: dd.encode_block(d, n, hl, k=k, lazy=lazy,
+                                             hist=hist, min3=min3)
         )(blocks_l, lens_l, hist_l)
 
     return jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS, None),
+        out_specs={"words": P(AXIS, None), "nbits": P(AXIS),
+                   "mode": P(AXIS), "ll_lens": P(AXIS, None),
+                   "d_lens": P(AXIS, None), "cl_lens": P(AXIS, None)},
     )(blocks, lens, hist_lens)
-
-
-@functools.partial(jax.jit, static_argnames=("mesh",))
-def _pack_tokens_sharded(toks, ll_lens, ll_codes, d_lens, d_codes, *,
-                         mesh: Mesh):
-    """Phase 2 sharded: bit-pack each block with its host-built code tables."""
-
-    def per_shard(toks_l, a, b, c, d):
-        return jax.vmap(dd.pack_tokens)(toks_l, a, b, c, d)
-
-    return jax.shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                  P(AXIS, None), P(AXIS, None)),
-        out_specs=(P(AXIS, None), P(AXIS)),
-    )(toks, ll_lens, ll_codes, d_lens, d_codes)
 
 
 def deflate_sharded(data: bytes, level: int = 1, mesh: Mesh | None = None,
@@ -95,7 +83,11 @@ def deflate_sharded(data: bytes, level: int = 1, mesh: Mesh | None = None,
 
         return native.deflate(data, level)
 
-    k, lazy = dd._level_params(level)
+    if level in (0, -2):
+        from .. import native
+
+        return native.deflate(data, level)
+    k, lazy, min3 = dd._level_params(level)
     nblocks = -(-n // block_size)
     hist = dd.HIST if nblocks > 1 else 0
     padded = np.zeros(hist + nblocks * block_size + dd.PAD, dtype=np.uint8)
@@ -123,37 +115,25 @@ def deflate_sharded(data: bytes, level: int = 1, mesh: Mesh | None = None,
             lens_np[j] = min(block_size, n - b * block_size)
             hist_np[j] = min(hist, b * block_size)
 
-        toks = _find_tokens_sharded(
+        res = _encode_group_sharded(
             jax.device_put(blocks_np, row_spec),
             jax.device_put(lens_np, vec_spec),
             jax.device_put(hist_np, vec_spec),
-            mesh=mesh, k=k, lazy=lazy, hist=hist,
+            mesh=mesh, k=k, lazy=lazy, hist=hist, min3=min3,
         )
-        # The only cross-device data dependence: per-block histograms to the
-        # host (286+30 ints per block) for code construction + mode choice.
-        ll_hists = np.asarray(jax.device_get(toks["ll_hist"]))
-        dist_hists = np.asarray(jax.device_get(toks["dist_hist"]))
-        modes, headers, (ll_lens_b, ll_codes_b, d_lens_b, d_codes_b) = (
-            dd._tables_for_group(ll_hists, dist_hists, lens_np)
-        )
-
-        words_b, bits_b = _pack_tokens_sharded(
-            toks,
-            jax.device_put(ll_lens_b, row_spec),
-            jax.device_put(ll_codes_b, row_spec),
-            jax.device_put(d_lens_b, row_spec),
-            jax.device_put(d_codes_b, row_spec),
-            mesh=mesh,
-        )
-        words_np = np.asarray(jax.device_get(words_b)).astype("<u4")
-        bits_np = np.asarray(jax.device_get(bits_b))
+        # The only device->host traffic: packed words (the output itself)
+        # plus the tiny per-block length arrays for header emission.
+        res = jax.device_get(res)
+        words_np = np.asarray(res["words"]).astype("<u4")
 
         for j in range(greal):
             b = bi + j
             blen = int(lens_np[j])
             raw = padded[hist + b * block_size : hist + b * block_size + blen]
-            dd._append_block(out, modes[j], headers[j], words_np[j],
-                             int(bits_np[j]), raw, blen, b == nblocks - 1)
+            dd._assemble_block(out, int(res["mode"][j]), res["ll_lens"][j],
+                               res["d_lens"][j], res["cl_lens"][j],
+                               words_np[j], int(res["nbits"][j]), raw, blen,
+                               b == nblocks - 1)
         bi += greal
     return bytes(out.out)
 
