@@ -1383,7 +1383,9 @@ void tokenize_fast(const uint8_t* src, size_t start, size_t end,
         // fallback anyway) the stride grows 16x faster, slashing the probe
         // count on random data. Mixed content that has matched even once
         // never shifts gears, so ratios are untouched (reference
-        // snappy.nim:90 grows linearly forever).
+        // snappy.nim:90 grows linearly forever; a milder local re-arm was
+        // measured to cost fireworks.jpg/paper-100k.pdf L1 their strict
+        // size gates).
         if (++streak == 128 && ts.n_tokens_match == 0) gear = 16;
         pos = next_pos;
       }
@@ -2373,6 +2375,15 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
                            std::vector<ChunkMeta>& metas,
                            std::vector<uint32_t>& freqs, size_t n,
                            SegmentedPlan& sp, bool light = false) {
+  static const bool mprof = getenv("ZT_MPROF") != nullptr;
+  auto mt0 = std::chrono::steady_clock::now();
+  auto mstamp = [&](const char* nm) {
+    if (!mprof) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "    [mplan] %-8s %.3f ms\n", nm,
+            std::chrono::duration<double, std::milli>(now - mt0).count());
+    mt0 = now;
+  };
   // Prefix sums over the original chunk histograms: any range's histogram
   // is a 316-wide subtraction, so merges and splits never mutate state.
   std::vector<uint32_t> pf((n + 1) * kSegLitDist, 0);
@@ -2433,8 +2444,13 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
     return cost[i] + cost[j] - est_range(i, k);
   };
   for (size_t i = 0; i + 1 < n; i++) sav[i] = pair_sav((int)i);
+  mstamp("init");
 
-  const double kMergeSlack = 64.0;
+  // Light (BestSpeed) planning trusts the estimate with a wide margin:
+  // borderline pairs merge here instead of surviving into the exact sweep,
+  // whose per-boundary Huffman builds are the planner's dominant cost at
+  // L1 (only clear stored/coded boundaries are worth a header there).
+  const double kMergeSlack = light ? 512.0 : 64.0;
   for (;;) {
     int best = -1;
     double best_s = kMergeSlack;
@@ -2461,6 +2477,12 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
   // split sweep catches gradually-drifting distributions that fool the
   // greedy pairwise merge (each local merge looks fine; the end-to-end
   // distribution shift does not).
+  if (mprof) {
+    size_t nr = 0;
+    for (int i = 0; i < (int)n; i = nxt[i]) nr++;
+    fprintf(stderr, "    [mplan] nchunks=%zu est_ranges=%zu\n", n, nr);
+  }
+  mstamp("estmerge");
   std::vector<std::pair<size_t, size_t>> ranges;
   for (int i = 0; i < (int)n; i = nxt[i]) ranges.emplace_back(i, nxt[i]);
 
@@ -2514,6 +2536,7 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
     ranges = std::move(out);
   };
   merge_sweep();
+  mstamp("msweep");
 
   // Split sweep: the cheap estimate ranks every candidate boundary inside a
   // segment; only the best one is verified with exact costs (recursing into
@@ -2566,6 +2589,7 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
     }
     ranges = std::move(done);
   }
+  mstamp("split");
   if (split_any) merge_sweep();
 
   // Final exact plans per segment.
@@ -2577,7 +2601,7 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
   sp.modes.assign(ranges.size(), 0);
   sp.plans.resize(ranges.size());
   std::vector<uint64_t> rbits(ranges.size(), 0);
-  zt_parallel_for(ranges.size(), [&](size_t i) {
+  auto final_plan = [&](size_t i) {
     auto [a, b] = ranges[i];
     uint32_t h[kSegLitDist];
     const uint32_t* hi = &pf[b * kSegLitDist];
@@ -2588,7 +2612,16 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
         seg_exact_cost(h, h + 286, range_meta(a, b), sp.plans[i], mode);
     sp.modes[i] = mode;
     sp.segs[i] = range_meta(a, b);
-  });
+  };
+  if (ranges.size() < 8) {
+    // A pool round trip costs 50-200 us under virtualization — more than
+    // a handful of ~8 us package-merges.
+    for (size_t i = 0; i < ranges.size(); i++) final_plan(i);
+  } else {
+    zt_parallel_for(ranges.size(), final_plan);
+  }
+  if (mprof) fprintf(stderr, "    [mplan] final_ranges=%zu\n", ranges.size());
+  mstamp("final");
   sp.total_bits = 0;
   for (uint64_t b : rbits) sp.total_bits += b;
   sp.rtoks = std::move(rtoks);
@@ -2718,38 +2751,70 @@ static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
   // probes — insert-sparse sampling detected only repeats whose period is
   // ≡ 0 mod the stride (a >= 20 KiB random block repeated at any other
   // period was misclassified random and emitted STORED at every level).
+  // Coprime sparse grids: inserts at stride 5, probes at stride 13. For a
+  // repeat at ANY period P there is a probe position p ≡ 0 (mod 13) whose
+  // source p-P lands on the insert grid within lcm(5,13)=65 positions
+  // (CRT, gcd=1 — the round-3 equal-stride sampler only caught periods
+  // ≡ 0 mod the stride), at ~28% of the every-position-insert cost.
   uint16_t table[4096] = {0};
   size_t base = start;
-  for (size_t p = start; p + 4 <= end; p++) {
-    if (p - base > 0xF000) {  // keep relative offsets in range
-      base = p;
-      memset(table, 0, sizeof(table));
+  size_t next_ins = start;
+  for (size_t p = start; p + 4 <= end; p += 13) {
+    for (; next_ins < p; next_ins += 5) {
+      if (next_ins - base > 0xF000) {  // keep relative offsets in range
+        base = next_ins;
+        memset(table, 0, sizeof(table));
+      }
+      uint32_t vi = read32(src + next_ins);
+      table[(vi * 0x9E3779B1u) >> 20] = (uint16_t)(next_ins - base);
     }
     uint32_t v = read32(src + p);
     uint32_t h = (v * 0x9E3779B1u) >> 20;
-    if (((p - start) & 15) == 0) {
-      size_t cand = base + table[h];
-      if (cand < p && p - cand <= kWindow && read32(src + cand) == v)
-        return false;  // found a sampled match: not random
-    }
-    table[h] = (uint16_t)(p - base);
+    size_t cand = base + table[h];
+    if (cand < p && p - cand <= kWindow && read32(src + cand) == v)
+      return false;  // found a sampled match: not random
   }
-  alignas(64) uint32_t h0[256] = {0}, h1[256] = {0}, h2[256] = {0},
-                       h3c[256] = {0};
+  // Entropy in two tiers: a stride-2 subsample first (half the reads; the
+  // Miller-Madow correction uses the SAMPLE count, so the estimate stays
+  // unbiased), full histogram only in the borderline band where the
+  // subsample can't call it. Truly random input lands clearly >= 7.99
+  // either way; compressible input clearly below — only the rare
+  // near-threshold case pays both passes.
+  alignas(64) uint32_t h0[256] = {0}, h1[256] = {0};
   size_t i = start;
   for (; i + 4 <= end; i += 4) {
     h0[src[i]]++;
-    h1[src[i + 1]]++;
-    h2[src[i + 2]]++;
-    h3c[src[i + 3]]++;
+    h1[src[i + 2]]++;
   }
-  for (; i < end; i++) h0[src[i]]++;
+  size_t m = 2 * ((end - start) / 4);
+  {
+    double bits = 0;
+    int distinct = 0;
+    double dm = (double)m;
+    double log2m = log2_int(m);
+    for (int s = 0; s < 256; s++) {
+      uint32_t f = h0[s] + h1[s];
+      if (f) {
+        bits += f * (log2m - log2_int(f));
+        distinct++;
+      }
+    }
+    double Hs = bits / dm + (distinct - 1) / (2.0 * dm * 0.6931471805599453);
+    if (Hs >= 7.996) return true;
+    if (Hs < 7.975) return false;
+  }
+  alignas(64) uint32_t g0[256] = {0}, g1[256] = {0};
+  for (i = start; i + 4 <= end; i += 4) {
+    g0[src[i + 1]]++;
+    g1[src[i + 3]]++;
+  }
+  for (i = start + 4 * ((end - start) / 4); i < end; i++) g0[src[i]]++;
   double bits = 0;
   int distinct = 0;
   double dn = (double)n;
   double log2n = log2_int(n);
   for (int s = 0; s < 256; s++) {
-    uint32_t f = h0[s] + h1[s] + h2[s] + h3c[s];
+    uint32_t f = h0[s] + h1[s] + g0[s] + g1[s];
     if (f) {
       bits += f * (log2n - log2_int(f));
       distinct++;
@@ -2845,7 +2910,7 @@ int64_t deflate_impl(const uint8_t* src, size_t src_len, int level,
       if (want) {
         SegmentedPlan sp;
         int shift =
-            lvl == 1 ? 14 : (end - start <= 96 * 1024 ? 12 : 13);
+            lvl == 1 ? 13 : (end - start <= 96 * 1024 ? 12 : 13);
         if (plan_segments(src, start, end, shift, ts, sp)) {
           emit_segments(bw, src, sp, final_block);
           if (bw.full) return ZT_ERR_DST_FULL;
@@ -3138,7 +3203,10 @@ int64_t deflate_shared(const uint8_t* src, size_t src_len, int level,
   // count.
   const size_t csize = (size_t)1 << shift;
   size_t nu = (src_len + 64 * 1024 - 1) / (64 * 1024) * 2;
-  size_t grain = ((src_len + nu - 1) / nu + csize - 1) & ~(csize - 1);
+  // 4 KiB grain rounding (not csize): csize-rounding turned a 100 KiB
+  // input into 32/32/32/5 KiB units — a 64/37 split across 2 cores; unit
+  // tails simply end with a short chunk (chunk_stats allows it).
+  size_t grain = ((src_len + nu - 1) / nu + 4095) & ~(size_t)4095;
   const size_t nunits = (src_len + grain - 1) / grain;
 
   struct UnitOut {
