@@ -273,3 +273,26 @@ def test_uncompress_device_engine():
     bad = z[:-1] + bytes([z[-1] ^ 1])
     with pytest.raises(zippy_tpu.ZippyError):
         zippy_tpu.uncompress(bad, engine_name="device")
+
+
+def test_profiling_hooks():
+    """jax.profiler tracing + stage recorder (SURVEY §5 tracing subsystem
+    — the reference has none; ours must actually capture the device
+    dispatches)."""
+    import os
+    import tempfile
+
+    import zippy_tpu
+
+    data = _mixed_payload(8192, seed=21)
+    blob = zippy_tpu.compress(data, 6, zippy_tpu.dfZlib, engine_name="device")
+    with tempfile.TemporaryDirectory() as td:
+        with zippy_tpu.profiling.trace(td):
+            with zippy_tpu.profiling.annotate("decode"):
+                assert zippy_tpu.uncompress(blob, engine_name="device") == data
+        files = [f for _, _, fs in os.walk(td) for f in fs]
+        assert any("xplane" in f or "trace" in f.lower() for f in files)
+    with zippy_tpu.profiling.stage_timer() as rec:
+        zippy_tpu.uncompress(blob, engine_name="device")
+        rec.mark("decode")
+    assert "decode" in rec.report()

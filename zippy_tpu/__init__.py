@@ -13,6 +13,7 @@ import os as _os
 _os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 _os.environ.setdefault("OMP_NUM_THREADS", "1")
 
+from . import profiling
 from .api import compress, uncompress
 from .gzip_format import compress_indexed, uncompress_parallel
 from .tarballs import extract_all as extract_all_tarball
@@ -63,6 +64,7 @@ __all__ = [
     "compress",
     "uncompress",
     "warmup",
+    "profiling",
     "compress_indexed",
     "uncompress_parallel",
     "ZipArchiveReader",

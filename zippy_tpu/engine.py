@@ -10,8 +10,13 @@ from __future__ import annotations
 from . import native
 from .common import ZippyError
 
-# Inputs below this size stay on the host: kernel dispatch + transfer overhead
-# dominates any device win (axon host->device link measured ~0.2 GB/s).
+# Inputs below this size stay on the host: kernel dispatch + transfer
+# overhead dominates any device win. Measured basis (BENCH_DEVICE_r4.json):
+# tunnel upload ~2 GB/s bulk bandwidth with ~0.1-100 ms per-dispatch
+# latency (tenant-dependent); the native host codec runs at 20 GB/s
+# (checksums) / 0.35-2 GB/s (codec), so a host-resident buffer never wins
+# by crossing the link twice — "auto" routes host bytes native and device
+# arrays to the chip.
 DEVICE_MIN_BYTES = 1 << 20
 
 _ENGINES = ("auto", "native", "device")

@@ -230,13 +230,33 @@ def _gf2_matvec_device(cols: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 def _crc32_raw_words(c: jnp.ndarray) -> jnp.ndarray:
     """Fold per-word raw CRCs (power-of-two count) to the raw CRC of the
-    concatenation, via the log-tree butterfly under fori_loop (an unrolled
-    halving tree compiles a levels*32-op graph — minutes of XLA time at MB
-    sizes; the butterfly body compiles once)."""
+    concatenation.
+
+    Two phases: UNROLLED pairwise halving folds while the array is large —
+    raw(L||R) = shift^{4*2^k}(raw_L) ^ raw_R with a static per-level
+    matrix, so the work HALVES per level (the old full-width fori
+    butterfly did 32n selects at every one of its ~24 levels: measured
+    0.09 GB/s on 64 MiB; only log2(n/2^16) levels unroll, so the graph
+    stays a few hundred ops) — then the fori butterfly on the <=2^16-word
+    remainder, whose body compiles once for all remainder levels."""
+    # Contiguous HALF-folding (the vector analogue of PCLMUL fold-by-K):
+    # XOR-folding is commutative, so pair element i with i + m/2 under
+    # shift8^(4*(m/2)) — both slices contiguous (even/odd strided slices
+    # relayout across lanes on TPU and ran ~100x slower).
+    while c.shape[0] > (1 << 10):
+        half = c.shape[0] // 2
+        k = int(np.log2(half))
+        cols = jnp.asarray(_tree_matrices()[k])
+        left = c[:half]
+        folded = jnp.zeros_like(left)
+        for j in range(32):
+            bit = (left >> jnp.uint32(j)) & jnp.uint32(1)
+            folded = folded ^ (bit * cols[j])
+        c = folded ^ c[half:]
     nwords = c.shape[0]
     levels = int(np.log2(nwords)) if nwords > 1 else 0
     if levels:
-        mats = jnp.asarray(_tree_matrices()[:levels])       # (levels, 32)
+        mats = jnp.asarray(_tree_matrices()[:levels])
         idx = jnp.arange(nwords, dtype=jnp.uint32)
 
         def step(k, c):
@@ -255,13 +275,34 @@ def _crc32_raw_words(c: jnp.ndarray) -> jnp.ndarray:
     return c[nwords - 1]
 
 
+@functools.cache
+def _word_bit_columns() -> np.ndarray:
+    """C[b] = raw CRC of a 4-byte word with only bit b set (b indexes the
+    word's little-endian uint32 value). The per-word raw CRC is GF(2)-
+    LINEAR in the word's bits: raw(w) = XOR over set bits of C[b]."""
+    tabs = _crc_word_tables()
+    cols = np.zeros(32, dtype=np.uint32)
+    for b in range(32):
+        byte_i = b // 8          # which byte of the LE word
+        cols[b] = tabs[3 - byte_i][1 << (b % 8)]
+    return cols
+
+
 def _words_raw_crc(data: jnp.ndarray) -> jnp.ndarray:
-    """Per-4-byte-word raw CRCs via slice-by-4 LUT gathers (leading axis
-    preserved; last axis must be a multiple of 4)."""
-    tabs = jnp.asarray(_crc_word_tables())
-    d = data.reshape(data.shape[:-1] + (-1, 4)).astype(jnp.int32)
-    return (tabs[3][d[..., 0]] ^ tabs[2][d[..., 1]] ^ tabs[1][d[..., 2]]
-            ^ tabs[0][d[..., 3]])
+    """Per-4-byte-word raw CRCs (leading axis preserved; last axis must be
+    a multiple of 4), as 32 select-XORs of constant columns — the GF(2)
+    bit-linear form. The slice-by-4 LUT-gather formulation was measured
+    ~0.07 GB/s on TPU (XLA lowers per-element gathers at ~60 M/s); the
+    linear form is pure vector selects at HBM-bound speed."""
+    cols = _word_bit_columns()
+    d = data.reshape(data.shape[:-1] + (-1, 4)).astype(jnp.uint32)
+    w = (d[..., 0] | (d[..., 1] << jnp.uint32(8))
+         | (d[..., 2] << jnp.uint32(16)) | (d[..., 3] << jnp.uint32(24)))
+    out = jnp.zeros_like(w)
+    for b in range(32):
+        out = out ^ (((w >> jnp.uint32(b)) & jnp.uint32(1))
+                     * jnp.uint32(int(cols[b])))
+    return out
 
 
 @jax.jit
