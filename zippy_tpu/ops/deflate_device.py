@@ -31,11 +31,17 @@ data-parallel vector work that XLA maps onto the TPU VPU:
 
 Why XLA ops rather than a hand-written Pallas kernel for the matcher: every
 stage here leans on data-dependent gathers (bucket predecessors after the
-sort, candidate window reads, LUT lookups), which XLA lowers to the TPU's
-native gather support; Mosaic has no arbitrary-gather primitive, so a
-Pallas formulation would have to emulate gathers with per-element dynamic
-slices. The Pallas surface is exercised where it fits (ops/pallas_checksums
-tile kernels); for these gather-bound stages "let XLA fuse" wins.
+sort, candidate window reads, LUT lookups); Mosaic has no arbitrary-gather
+primitive, so a Pallas formulation would emulate them with per-element
+dynamic slices. Round-4 chained-dependency measurements
+(BENCH_DEVICE_r4.json) quantify the constraint: XLA lowers per-element
+gathers at ~60 M/s on this chip/runtime, which rate-bounds every
+gather-heavy stage regardless of who authors the kernel. Gather-FREE
+reformulations are the proven fast path (crc32 went 0.07 -> 1.9 GB/s by
+replacing LUT gathers with GF(2) bit-linear selects); the matcher's
+candidate scoring has no known gather-free form, so its device throughput
+is honest-but-bounded and the native host encoder remains the production
+path for host-resident bytes (engine auto-routing).
 """
 
 from __future__ import annotations
