@@ -2375,6 +2375,8 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
                            std::vector<ChunkMeta>& metas,
                            std::vector<uint32_t>& freqs, size_t n,
                            SegmentedPlan& sp, bool light = false) {
+  // ZT_MPROF=1: per-stage wall times of the segmentation planner (the
+  // finer-grained sibling of ZT_PROF's deflate_shared stages).
   static const bool mprof = getenv("ZT_MPROF") != nullptr;
   auto mt0 = std::chrono::steady_clock::now();
   auto mstamp = [&](const char* nm) {

@@ -160,8 +160,7 @@ def find_tokens(data_pad: jnp.ndarray, n: jnp.ndarray,
     l_best = jnp.minimum(l_best, jnp.minimum(
         tables.MAX_MATCH_LEN, jnp.maximum(n - i_rel, 0)))
 
-    is_m0 = l_best >= 4
-    is_m = is_m0
+    is_m = l_best >= 4
     if min3:
         # Length-3 matches at short distance (zlib's TOO_FAR=4096 rule,
         # reference lz77 minMatch 3): one recency candidate from a 3-gram
