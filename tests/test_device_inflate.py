@@ -223,3 +223,15 @@ def test_scan_matches_native_end_bit():
     _, end_bit = native.inflate(blob)
     assert index["end_bit"] == end_bit
     assert index["total_out"] == len(data)
+
+
+def test_large_config_tile_path():
+    """Streams past the S-config span pick CFG_L; the L executable's
+    planner/kernel path must round-trip and self-verify too (CI otherwise
+    only ever exercises CFG_S)."""
+    base = _fixture("urls.10K")
+    data = (base * 5)[: 8 * idev.CFG_S.tile_out + 4321]  # > 2 MiB -> CFG_L
+    blob = zlib.compress(data, 6)[2:-4]
+    idx = idev.build_decode_index(blob)
+    assert idev._pick_cfg(idx["total_out"]) == idev.CFG_L
+    assert idev.inflate_device(blob, idx) == data
