@@ -189,6 +189,25 @@ def test_inflate_device_array_surface():
     assert bytes(np.asarray(arr)[:total].tobytes()) == data
 
 
+def test_inflate_device_array_multi_tile_capacity_cut():
+    """ADVICE r4 high regression: capacity-cut tiles (all-literal
+    HuffmanOnly stream -> nseg cuts -> used << tile_out) made _place_tile's
+    fixed-width write exceed a buffer padded only to next-pow2(total);
+    dynamic_update_slice then CLAMPED the start, silently corrupting
+    earlier tiles while the (pre-placement) adler gate stayed green."""
+    data = bytes(np.random.default_rng(7).integers(0, 256, 1 << 20,
+                                                   dtype=np.uint8))
+    blob = native.deflate(data, -2)  # HuffmanOnly: every byte a literal
+    idx = idev.build_decode_index(blob)
+    cfg = idev._pick_cfg(int(idx["total_out"]))
+    tiles = idev._plan_tiles(idx, cfg)
+    assert len(tiles) >= 2
+    assert tiles[-1].base + cfg.tile_out > 1 << 20  # the clamping shape
+    arr, total = idev.inflate_device_array(blob, idx)
+    assert total == len(data)
+    assert bytes(np.asarray(arr)[:total].tobytes()) == data
+
+
 def test_warmup_compiles_and_counts():
     n = idev.warmup(max_bytes=1 << 20)
     assert n >= 1

@@ -123,3 +123,30 @@ def test_mt_multipart_stored_alignment():
         for lvl in (1, 6):
             blob = native.deflate(data, lvl)
             assert zlib.decompress(blob, wbits=-15) == data
+
+
+def test_stride2_structured_data_compresses():
+    """ADVICE r4 medium regression: the tier-1 entropy subsample read byte
+    offsets 0 and 2 of each 4-byte group — both even — so 16-bit
+    sensor/sample-style data (random high bytes, compressible low bytes)
+    measured ~8 bits/byte and was emitted STORED at every level. The fixed
+    sampler covers both phases; such data must compress."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n = 1 << 20
+    buf = np.empty(n, dtype=np.uint8)
+    buf[0::2] = rng.integers(0, 256, n // 2, dtype=np.uint8)  # random phase
+    buf[1::2] = rng.integers(97, 97 + 26, n // 2, dtype=np.uint8)  # alpha
+    data = buf.tobytes()
+    zref = len(zlib.compress(data, 6))
+    for lvl in (1, 6, 9):
+        out = native.deflate(data, lvl)
+        # Must actually compress, and stay within 2% of zlib-6 (the
+        # pre-regression sampler classified this compressible).
+        assert len(out) < n
+        assert len(out) <= zref * 1.02, (lvl, len(out), zref)
+        rt, _ = native.inflate(out)
+        assert rt == data

@@ -102,10 +102,12 @@ def inflate(
 
 
 def crc32(data, engine: str = "auto") -> int:
+    """"auto" routes host bytes native at EVERY size: device crc runs
+    1.9 GB/s + 2.1 GB/s upload vs native PCLMUL 20 GB/s (BENCH_DEVICE_r4),
+    so there is no crossover — only device-resident arrays (or an explicit
+    engine="device") dispatch to the chip."""
     check_engine(engine)
-    if is_device_array(data) or engine == "device" or (
-        engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
-    ):
+    if is_device_array(data) or engine == "device":
         from .ops import checksums
 
         return checksums.crc32_device(data)
@@ -113,10 +115,11 @@ def crc32(data, engine: str = "auto") -> int:
 
 
 def adler32(data, engine: str = "auto") -> int:
+    """Same routing rule as crc32: host bytes never auto-route to the chip
+    (device adler 19.3 GB/s loses to native AVX2 20 GB/s once the upload is
+    paid, and contended dispatch windows cost 65-137 ms)."""
     check_engine(engine)
-    if is_device_array(data) or engine == "device" or (
-        engine == "auto" and len(data) >= DEVICE_MIN_BYTES * 8 and device_available()
-    ):
+    if is_device_array(data) or engine == "device":
         from .ops import checksums
 
         return checksums.adler32_device(data)

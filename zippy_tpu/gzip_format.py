@@ -248,11 +248,18 @@ def uncompress_parallel(src: bytes) -> bytes:
             break
     if len(spans) <= 1:
         return uncompress_gzip(src)
+    def _decode_span(s):
+        # Decode over the whole buffer (zero-copy on the mmap path) but
+        # cross-check the consumed length against the indexed member length:
+        # an understated index previously failed on the bounded slice, and
+        # must not silently diverge from the serial path (ADVICE r4 low).
+        payload, consumed = native_mod.gzip_uncompress(src, s[0])
+        if consumed != s[1]:
+            raise ZippyError("Invalid gzip data (ZT index length mismatch)")
+        return payload
+
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
-        parts = list(ex.map(
-            lambda s: native_mod.gzip_uncompress(src, s[0])[0],
-            spans,
-        ))
+        parts = list(ex.map(_decode_span, spans))
     return b"".join(parts)
 
 

@@ -2784,9 +2784,13 @@ static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
   // near-threshold case pays both passes.
   alignas(64) uint32_t h0[256] = {0}, h1[256] = {0};
   size_t i = start;
+  // One even and one odd offset per 4-byte group: offsets {0,2} were both
+  // even, so stride-2-structured data (16-bit samples with random high
+  // bytes and compressible low bytes) measured ~8 bits/byte and was
+  // misclassified random (ADVICE r4 medium).
   for (; i + 4 <= end; i += 4) {
     h0[src[i]]++;
-    h1[src[i + 2]]++;
+    h1[src[i + 1]]++;
   }
   size_t m = 2 * ((end - start) / 4);
   {

@@ -388,7 +388,12 @@ def _kraft_lengths(freq: jnp.ndarray, limit: int) -> jnp.ndarray:
         need = deficit(l)
         cand = active & (l < limit)
         gain = jnp.where(cand, 1 << (limit - l - 1), 0)
-        order = jnp.argsort(jnp.where(cand, freq, jnp.int32(1 << 28)) * 512
+        # Sort keys stay in int32: clamp freq below 2^20 (above that the
+        # ordering among mega-frequency symbols degrades to index ties,
+        # which only perturbs tie-breaking) and pick a sentinel that
+        # survives the *512 scaling (ADVICE r4: (1<<28)*512 wrapped to 0).
+        fkey = jnp.minimum(freq, jnp.int32((1 << 20) - 1))
+        order = jnp.argsort(jnp.where(cand, fkey, jnp.int32(1 << 20)) * 512
                             + idx)
         gain_s = gain[order]
         csum = jnp.cumsum(gain_s)
@@ -404,7 +409,8 @@ def _kraft_lengths(freq: jnp.ndarray, limit: int) -> jnp.ndarray:
         slack = -deficit(l)
         cand = active & (l >= 2)
         cost = jnp.where(cand, 1 << (limit - l), 0)
-        density = jnp.where(cand, freq >> (limit - l), -1)
+        density = jnp.where(cand, jnp.minimum(freq >> (limit - l),
+                                              jnp.int32((1 << 20) - 1)), -1)
         order = jnp.argsort(-(density * 512 - idx))
         cost_s = cost[order]
         csum = jnp.cumsum(cost_s)
@@ -455,9 +461,11 @@ def _kraft_lengths(freq: jnp.ndarray, limit: int) -> jnp.ndarray:
     lens = jnp.where(bits_a <= bits_b, lens_a, lens_b)
 
     # Reassign the winning multiset by frequency rank (keys fit int32:
-    # S < 512, freq < 2^20).
+    # S < 512; freq clamped below 2^20 so the *512 scaling cannot wrap —
+    # deflate_array block_size can push per-block freq to 2^22).
     lens_asc = jnp.sort(jnp.where(active, lens, 99))
-    order_f = jnp.argsort(((1 << 20) - freq) * 512 + idx)
+    order_f = jnp.argsort(
+        ((1 << 20) - jnp.minimum(freq, jnp.int32((1 << 20) - 1))) * 512 + idx)
     rank = jnp.zeros(S, jnp.int32).at[order_f].set(idx)
     return jnp.where(active, lens_asc[rank], 0)
 

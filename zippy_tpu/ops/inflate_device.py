@@ -693,7 +693,15 @@ def inflate_device_array(data: bytes, index=None, start_bit: int = 0,
         if verify:
             _verify_adler(index, adler_acc)
         return outs[0][HALO:], total
-    npad = 1 << int(np.ceil(np.log2(total)))
+    # Each _place_tile writes a full cfg.tile_out-sized slice at tile.base;
+    # capacity-cut tiles (nseg/nsto cuts) leave used < tile_out, so the
+    # buffer must cover max(base) + tile_out — dynamic_update_slice CLAMPS
+    # out-of-range starts, which would silently shift the last write
+    # backwards over earlier tiles (ADVICE r4 high). Tiles are written in
+    # stream order, so each tile's garbage tail is overwritten by the next
+    # tile's full-width write; only the final tile's tail past `total`
+    # remains padding.
+    npad = 1 << int(np.ceil(np.log2(max(total, tiles[-1].base + cfg.tile_out))))
     buf = jnp.zeros(npad, jnp.uint8)
     for tile, out in zip(tiles, outs):
         buf = _place_tile(buf, out, jnp.int32(tile.base))
