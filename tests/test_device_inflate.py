@@ -254,3 +254,92 @@ def test_large_config_tile_path():
     idx = idev.build_decode_index(blob)
     assert idev._pick_cfg(idx["total_out"]) == idev.CFG_L
     assert idev.inflate_device(blob, idx) == data
+
+
+def test_device_indexed_gzip_roundtrip():
+    """Encode-time index emission (SURVEY §5 decode seam): the indexed
+    stream must (a) decode to identical bytes by ANY RFC 1952 reader
+    (sidecar members are empty-payload, so CPython sees a normal gzip),
+    and (b) device-decode with ZERO host scans."""
+    import gzip as _gzip
+    from unittest import mock
+
+    from zippy_tpu import gzip_format as gf
+
+    data = (_fixture("urls.10K") * 40)[: (1 << 21) + 12345]
+    blob = gf.compress_device_indexed(data, 6)
+    # (a) RFC-silent sidecars: CPython ground truth.
+    assert _gzip.decompress(blob) == data
+    # host parallel path still works on the same stream
+    assert gf.uncompress_parallel(blob) == data
+    # (b) scan-free device decode
+    with mock.patch.object(idev, "build_decode_index",
+                           side_effect=AssertionError("scanned!")):
+        out = gf.uncompress_device(blob)
+    assert out == data
+
+
+def test_device_indexed_array_surface():
+    from zippy_tpu import gzip_format as gf
+
+    data = _fixture("geo.protodata")
+    blob = gf.compress_device_indexed(data, 6)
+    parts = gf.uncompress_device(blob, array=True)
+    got = b"".join(np.asarray(a)[:t].tobytes() for a, t in parts)
+    assert got == data
+
+
+def test_index_serialization_roundtrip():
+    from zippy_tpu import gzip_format as gf
+
+    data = _fixture("paper-100k.pdf")
+    blob = native.deflate(data, 6)
+    idx = idev.build_decode_index(blob)
+    idx2 = gf.deserialize_index(gf.serialize_index(idx))
+    for k in ("total_out", "end_bit", "max_depth", "adler", "every"):
+        assert idx2[k] == idx[k], k
+    for k in ("segments", "stored", "block_lens"):
+        assert np.array_equal(idx2[k], idx[k]), k
+    # the deserialized index must drive a real decode
+    assert idev.inflate_device(blob, idx2) == data
+
+
+def test_cfg_l_corrupt_never_silent():
+    """VERDICT r4 item 8: the CFG_L/multi-tile path (planner cuts, halo
+    chaining, u16 depth saturation) under bit-flip + truncation: every
+    corrupted stream either raises ZippyError or device-decodes EQUAL to
+    the serial host decode (adler gate) — never silent garbage. Mirrors
+    the CFG_S fuzz above at CFG_L scale (reference contract fuzz.nim:16-33,
+    stress2.nim:8-21)."""
+    import random
+
+    random.seed(17)
+    base = _fixture("urls.10K") + bytes(range(256)) * 16
+    data = (base * 40)[: 8 * idev.CFG_S.tile_out + 99991]  # > 2 MiB
+    blob = bytearray(zlib.compress(data, 6)[2:-4])
+    idx0 = idev.build_decode_index(bytes(blob))
+    assert idev._pick_cfg(int(idx0["total_out"])) == idev.CFG_L
+    assert len(idev._plan_tiles(idx0, idev.CFG_L)) >= 1
+    decoded = 0
+    for i in range(14):
+        b = bytearray(blob)
+        if i % 3 == 2:
+            b = b[: random.randrange(len(b) // 2, len(b))]
+        else:
+            b[random.randrange(16, len(b))] ^= 1 << random.randrange(8)
+        b = bytes(b)
+        try:
+            idx = idev.build_decode_index(b)
+        except ZippyError:
+            continue
+        if idx["total_out"] > 4 * len(data):
+            continue
+        try:
+            out = idev.inflate_device(b, idx)
+        except ZippyError:
+            continue  # the device verify gate fired: never silent
+        host, _ = native.inflate(b)
+        assert out == host
+        decoded += 1
+    # the uncorrupted stream decodes and verifies at CFG_L
+    assert idev.inflate_device(bytes(blob), idx0) == data

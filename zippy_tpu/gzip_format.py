@@ -291,3 +291,219 @@ def concat_members(src: bytes, parts: list[bytes], pos: int) -> bytes:
         parts.append(payload)
         pos += consumed
     return parts[0] if len(parts) == 1 else b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Encode-time device-decode index (the decode seam SURVEY §5 prescribes,
+# finished — VERDICT r4 item 5). The one-time host scan that device decode
+# otherwise needs runs at ~0.2 GB/s (slower than the reference's entire
+# serial decode, inflate.nim:268); emitting the index at ENCODE time means
+# a device decode of our own output never scans at all. The index rides
+# INSIDE the gzip stream as trailing empty-payload members whose FEXTRA
+# carries 'ZX' subfield chunks — any RFC 1952 reader decodes the stream
+# unchanged (empty members add no output); our reader reassembles the
+# chunks. Fine-grained checkpoints (every 32 tokens — what keeps the
+# device extract wide) are inherently a few percent of the payload, so the
+# deflated index is an explicit serving-format opt-in, not the default.
+# ---------------------------------------------------------------------------
+
+ZX_SUBFIELD_ID = b"ZX"
+_ZX_CHUNK = 60000
+_ZTI_MAGIC = b"ZTI1"
+
+
+def serialize_index(index) -> bytes:
+    """Columnar little-endian serialization of a decode index (offsets
+    relative to the start of the member's deflate body), deflated."""
+    import numpy as np
+
+    seg = np.asarray(index["segments"], dtype=np.int64)
+    sto = np.asarray(index["stored"], dtype=np.int64)
+    lens = np.asarray(index["block_lens"], dtype=np.uint8)
+    nseg, nsto, nblk = seg.shape[0], sto.shape[0], lens.shape[0]
+    head = _ZTI_MAGIC + struct.pack(
+        "<HIIIQQII", int(index["every"]), nseg, nsto, nblk,
+        int(index["total_out"]), int(index["end_bit"]),
+        int(index["max_depth"]), int(index["adler"]))
+    cols = []
+    if nseg:
+        bit = seg[:, 0]
+        out = seg[:, 1]
+        cols.append(np.diff(bit, prepend=0).astype("<u4").tobytes())
+        cols.append(np.diff(out, prepend=0).astype("<u4").tobytes())
+        cols.append(np.diff(seg[:, 2], prepend=0).astype("<u1").tobytes())
+        cols.append(seg[:, 3].astype("<u2").tobytes())
+        cols.append(seg[:, 4].astype("<u2").tobytes())
+    if nsto:
+        cols.append(np.diff(sto[:, 0], prepend=0).astype("<u4").tobytes())
+        cols.append(np.diff(sto[:, 1], prepend=0).astype("<u4").tobytes())
+        cols.append(sto[:, 2].astype("<u4").tobytes())
+    cols.append(lens.tobytes())
+    raw = head + b"".join(cols)
+    return native_mod.deflate(raw, 6)
+
+
+def deserialize_index(blob: bytes) -> dict:
+    """Inverse of serialize_index; returns the dict build_decode_index
+    produces (body-relative offsets)."""
+    import numpy as np
+
+    raw, _ = native_mod.inflate(blob)
+    if raw[:4] != _ZTI_MAGIC:
+        raise ZippyError("Invalid device index")
+    (every, nseg, nsto, nblk, total_out, end_bit, max_depth,
+     adler) = struct.unpack_from("<HIIIQQII", raw, 4)
+    p = 4 + struct.calcsize("<HIIIQQII")
+
+    def col(dt, n):
+        nonlocal p
+        a = np.frombuffer(raw, dtype=dt, count=n, offset=p)
+        p += a.nbytes
+        return a
+
+    seg = np.zeros((nseg, 5), np.int64)
+    if nseg:
+        seg[:, 0] = np.cumsum(col("<u4", nseg))
+        seg[:, 1] = np.cumsum(col("<u4", nseg))
+        seg[:, 2] = np.cumsum(col("<u1", nseg).astype(np.int64))
+        seg[:, 3] = col("<u2", nseg)
+        seg[:, 4] = col("<u2", nseg)
+    sto = np.zeros((nsto, 3), np.int64)
+    if nsto:
+        sto[:, 0] = np.cumsum(col("<u4", nsto))
+        sto[:, 1] = np.cumsum(col("<u4", nsto))
+        sto[:, 2] = col("<u4", nsto)
+    lens = col("<u1", nblk * 318).reshape(nblk, 318).copy()
+    if p != len(raw):
+        raise ZippyError("Invalid device index")
+    return {
+        "segments": seg, "stored": sto, "block_lens": lens,
+        "total_out": int(total_out), "end_bit": int(end_bit),
+        "max_depth": int(max_depth), "adler": int(adler),
+        "every": int(every),
+    }
+
+
+def _sidecar_members(index_blob: bytes) -> bytes:
+    """Empty-payload gzip members whose FEXTRA 'ZX' subfields carry the
+    deflated index in <= _ZX_CHUNK chunks (RFC-silent: they decode to
+    b''). Each also carries the ZT length subfield so fast member walkers
+    skip them without parsing."""
+    out = []
+    for i in range(0, len(index_blob), _ZX_CHUNK):
+        chunk = index_blob[i : i + _ZX_CHUNK]
+        zx = struct.pack("<2sH", ZX_SUBFIELD_ID, len(chunk)) + chunk
+        placeholder = struct.pack("<2sHI", ZT_SUBFIELD_ID, 4, 0) + zx
+        blob = write_member(b"", 6, random_name_padding=False,
+                            extra=placeholder, engine_name="native")
+        zt = struct.pack("<2sHI", ZT_SUBFIELD_ID, 4, len(blob))
+        out.append(blob[:12] + zt + blob[12 + len(zt):])
+    return b"".join(out)
+
+
+def compress_device_indexed(
+    src: bytes,
+    level: int,
+    *,
+    member_size: int = 1 << 20,
+) -> bytes:
+    """Gzip whose members each carry their full device-decode index in
+    trailing sidecar members: uncompress_device decodes it on the chip
+    with ZERO host scanning (and host readers see a normal gzip stream —
+    the ZT length subfields keep uncompress_parallel working too).
+
+    The index is the cost of the seam: every-32-token checkpoints deflate
+    to a few percent of the member size (measured ~2-4% on text), which is
+    why this is a separate serving format rather than the compress_indexed
+    default."""
+    from .ops import inflate_device as idev
+
+    out = []
+    for i in range(0, max(len(src), 1), member_size):
+        part = src[i : i + member_size]
+        placeholder = struct.pack("<2sHI", ZT_SUBFIELD_ID, 4, 0)
+        blob = write_member(part, level, random_name_padding=False,
+                            extra=placeholder, engine_name="native")
+        zt = struct.pack("<2sHI", ZT_SUBFIELD_ID, 4, len(blob))
+        blob = blob[:12] + zt + blob[12 + len(zt):]
+        hdr = parse_header(blob)
+        body = blob[hdr["data_offset"]:]
+        index = idev.build_decode_index(bytes(body))
+        out.append(blob)
+        out.append(_sidecar_members(serialize_index(index)))
+    return b"".join(out)
+
+
+def _member_zx(src: bytes, pos: int) -> bytes | None:
+    """The 'ZX' subfield payload of the member at `pos`, if any."""
+    hdr = parse_header(src, pos)
+    extra = hdr["extra"]
+    if not extra:
+        return None
+    p, end = 0, len(extra)
+    while p + 4 <= end:
+        sid = extra[p : p + 2]
+        slen = struct.unpack_from("<H", extra, p + 2)[0]
+        p += 4
+        if sid == ZX_SUBFIELD_ID and p + slen <= end:
+            return extra[p : p + slen]
+        p += slen
+    return None
+
+
+def uncompress_device(src: bytes, array: bool = False):
+    """Decode an indexed gzip stream (compress_device_indexed output) on
+    the TPU with no host scan: each member's sidecar index is shifted to
+    absolute offsets and fed straight to the tiled device decode, which
+    self-verifies (scan adler) and checks the member crc32 trailer on
+    device. Falls back to a fresh scan for members without an index.
+
+    array=False returns host bytes; array=True returns a list of
+    (jax.Array, length) device-resident payloads (the serving surface —
+    host-bytes-out is tunnel-download-bound on this setup)."""
+    from .ops import inflate_device as idev
+
+    parts = []
+    pos = 0
+    while pos < len(src):
+        if _is_zero_padding(src, pos):
+            break
+        mlen = _indexed_member_length(src, pos)
+        if mlen is None or pos + mlen > len(src):
+            raise ZippyError("Invalid gzip data (missing ZT index)")
+        if _member_zx(src, pos) is not None:
+            pos += mlen  # stray sidecar (empty payload): skip
+            continue
+        member = bytes(src[pos : pos + mlen])
+        pos += mlen
+        hdr = parse_header(member)
+        # Gather this member's sidecar chunks (empty-payload ZX members).
+        chunks = []
+        while pos < len(src) and not _is_zero_padding(src, pos):
+            nlen = _indexed_member_length(src, pos)
+            if nlen is None or pos + nlen > len(src):
+                break
+            zx = _member_zx(src, pos)
+            if zx is None:
+                break
+            chunks.append(zx)
+            pos += nlen
+        index = None
+        if chunks:
+            index = deserialize_index(b"".join(chunks))
+            # Shift body-relative offsets to member-absolute.
+            p = hdr["data_offset"]
+            index["segments"][:, 0] += p * 8
+            index["stored"][:, 0] += p
+            index["end_bit"] += p * 8
+        if array:
+            if index is None:
+                index = idev.build_decode_index(
+                    member, hdr["data_offset"] * 8)
+            arr, total = idev.inflate_device_array(member, index)
+            parts.append((arr, total))
+        else:
+            parts.append(idev.uncompress_gzip_device(member, index))
+    if array:
+        return parts
+    return b"".join(parts)

@@ -3984,15 +3984,16 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       if (sym == 256) break;
       if (tok_in_seg == every) {
         if (nseg < seg_cap) {
-          seg[nseg * 4 + 0] = (int64_t)tok_bit;
-          seg[nseg * 4 + 1] = (int64_t)op;
-          seg[nseg * 4 + 2] = (int64_t)block_id;
-          seg[nseg * 4 + 3] = 0;
+          seg[nseg * 5 + 0] = (int64_t)tok_bit;
+          seg[nseg * 5 + 1] = (int64_t)op;
+          seg[nseg * 5 + 2] = (int64_t)block_id;
+          seg[nseg * 5 + 3] = 0;
+          seg[nseg * 5 + 4] = 0;  // match output bytes (device compaction cap)
         }
         nseg++;
         tok_in_seg = 0;
       }
-      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 4 + 3]++;
+      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 5 + 3]++;
       tok_in_seg++;
       if (sym < 256) {
         depth_win[op & (kWindow - 1)] = 0;  // literal: depth 0
@@ -4007,6 +4008,7 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
       uint32_t distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
       if (distance > op) return ZT_ERR_MALFORMED;
+      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 5 + 4] += (int64_t)length;
       {
         // With the device resolver's closed-form overlap handling, byte
         // o of the span hops once to source byte s_lo + (o mod n_src), so

@@ -228,24 +228,24 @@ def _gf2_matvec_device(cols: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _crc32_raw_words(c: jnp.ndarray) -> jnp.ndarray:
-    """Fold per-word raw CRCs (power-of-two count) to the raw CRC of the
-    concatenation.
+def _fold_raw(c: jnp.ndarray, lvl0: int = 0) -> jnp.ndarray:
+    """Fold per-unit raw CRCs (power-of-two count, unit = 4*2^lvl0 bytes)
+    to the raw CRC of the concatenation.
 
     Two phases: UNROLLED pairwise halving folds while the array is large —
-    raw(L||R) = shift^{4*2^k}(raw_L) ^ raw_R with a static per-level
+    raw(L||R) = shift^{unit*2^k}(raw_L) ^ raw_R with a static per-level
     matrix, so the work HALVES per level (the old full-width fori
     butterfly did 32n selects at every one of its ~24 levels: measured
     0.09 GB/s on 64 MiB; only log2(n/2^16) levels unroll, so the graph
-    stays a few hundred ops) — then the fori butterfly on the <=2^16-word
+    stays a few hundred ops) — then the fori butterfly on the <=2^16-unit
     remainder, whose body compiles once for all remainder levels."""
     # Contiguous HALF-folding (the vector analogue of PCLMUL fold-by-K):
     # XOR-folding is commutative, so pair element i with i + m/2 under
-    # shift8^(4*(m/2)) — both slices contiguous (even/odd strided slices
-    # relayout across lanes on TPU and ran ~100x slower).
+    # shift8^(unit*(m/2)) — both slices contiguous (even/odd strided
+    # slices relayout across lanes on TPU and ran ~100x slower).
     while c.shape[0] > (1 << 10):
         half = c.shape[0] // 2
-        k = int(np.log2(half))
+        k = int(np.log2(half)) + lvl0
         cols = jnp.asarray(_tree_matrices()[k])
         left = c[:half]
         folded = jnp.zeros_like(left)
@@ -256,7 +256,7 @@ def _crc32_raw_words(c: jnp.ndarray) -> jnp.ndarray:
     nwords = c.shape[0]
     levels = int(np.log2(nwords)) if nwords > 1 else 0
     if levels:
-        mats = jnp.asarray(_tree_matrices()[:levels])
+        mats = jnp.asarray(_tree_matrices()[lvl0 : lvl0 + levels])
         idx = jnp.arange(nwords, dtype=jnp.uint32)
 
         def step(k, c):
@@ -273,6 +273,61 @@ def _crc32_raw_words(c: jnp.ndarray) -> jnp.ndarray:
 
         c = jax.lax.fori_loop(0, levels, step, c)
     return c[nwords - 1]
+
+
+def _crc32_raw_words(c: jnp.ndarray) -> jnp.ndarray:
+    return _fold_raw(c, 0)
+
+
+_MXU_CHUNK_WORDS = 256  # 1 KiB chunks: bit counts < 2^13, exact in f32
+
+
+@functools.cache
+def _chunk_bit_matrix() -> np.ndarray:
+    """M [8192, 32] float32 of 0/1: the GF(2) map from a 1 KiB chunk's
+    bits to its 32 raw-CRC bits. Row for chunk bit p (word p//32, word bit
+    p%32) is shift8^{4*(255 - p//32)} applied to that word-bit's raw-CRC
+    column (_word_bit_columns). Host-built once, cached."""
+    wcols = _word_bit_columns()
+    K = _MXU_CHUNK_WORDS
+    M = np.zeros((K * 32, 32), dtype=np.float32)
+    shift = np.frombuffer(_shift_matrix_pow(2), dtype=np.uint32)  # 4 bytes
+    # mats[w] = shift8^{4*w}; built back-to-front by repeated 4-byte steps.
+    cur = np.array([np.uint32(1) << j for j in range(32)], dtype=np.uint32)
+    mats = [cur]
+    for _ in range(K - 1):
+        cur = gf2_matmul(shift, cur)
+        mats.append(cur)
+    for w_i in range(K):
+        m = mats[K - 1 - w_i]
+        for b in range(32):
+            v = gf2_matvec(m, int(wcols[b]))
+            M[w_i * 32 + b, :] = [(v >> o) & 1 for o in range(32)]
+    return M
+
+
+@jax.jit
+def _crc32_raw_mxu(data: jnp.ndarray) -> jnp.ndarray:
+    """Raw CRC of `data` (power-of-two words >= 256, zero front padding)
+    via the bit-plane popcount-matmul form: a chunk's raw CRC is GF(2)-
+    linear in its 8192 bits, so [nchunks, 8192] 0/1 bf16 @ [8192, 32]
+    counts bit-AND pairs on the MXU and parity (count & 1) is the GF(2)
+    product. Counts < 2^13 are exact in the f32 accumulator. Replaces 32
+    select-XOR vector passes per word with one matmul whose FLOPs are
+    negligible — the cost is the 16x bit-plane materialization traffic,
+    still ~6x less work than the select-XOR chain (CLAUDE.md r4 design,
+    VERDICT r4 item 6)."""
+    d = data.reshape(-1, _MXU_CHUNK_WORDS, 4).astype(jnp.uint32)
+    w = (d[..., 0] | (d[..., 1] << jnp.uint32(8))
+         | (d[..., 2] << jnp.uint32(16)) | (d[..., 3] << jnp.uint32(24)))
+    bits = ((w[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+            & jnp.uint32(1)).astype(jnp.bfloat16).reshape(w.shape[0], -1)
+    M = jnp.asarray(_chunk_bit_matrix(), dtype=jnp.bfloat16)
+    counts = jax.lax.dot(bits, M, preferred_element_type=jnp.float32)
+    par = counts.astype(jnp.int32) & 1
+    raw = jnp.sum(par.astype(jnp.uint32)
+                  << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+    return _fold_raw(raw, 8)  # chunk unit = 1024 B = 4*2^8
 
 
 @functools.cache
@@ -312,8 +367,13 @@ def _crc32_padded(data: jnp.ndarray, init_term: jnp.ndarray) -> jnp.ndarray:
     Leading zero bytes are free in raw space (T0[0] == 0), so callers pad at
     the FRONT to a power-of-two word count. `init_term` = shift8^n(0xFFFFFFFF),
     host-computed per call (32x32 GF(2) square-multiply, microseconds).
+    Inputs >= 64 KiB take the MXU bit-plane path (_crc32_raw_mxu); small
+    inputs keep the select-XOR chain (matmul setup doesn't amortize).
     """
-    raw = _crc32_raw_words(_words_raw_crc(data))
+    if data.shape[0] >= (1 << 16):
+        raw = _crc32_raw_mxu(data)
+    else:
+        raw = _crc32_raw_words(_words_raw_crc(data))
     return raw ^ init_term ^ jnp.uint32(0xFFFFFFFF)
 
 
@@ -360,9 +420,11 @@ def _bucket_pad(arr, multiple: int, front: bool = False):
 def crc32_device(data, *, use_pallas: bool = False) -> int:
     """CRC-32 computed on the accelerator. Accepts bytes or uint8 array.
 
-    Default is the pure-XLA LUT-gather + log-tree reduction: measured
-    329 GB/s device-resident on TPU v5e, far ahead of the gather-free Pallas
-    fold kernel (see adler32_device). use_pallas selects the kernel anyway.
+    Default is pure XLA: the GF(2) bit-linear select-XOR form for small
+    inputs and the MXU bit-plane popcount-matmul for >= 64 KiB, folded by
+    the log tree (chained-dependency numbers in BENCH_DEVICE_r5.json; the
+    r2 "329 GB/s" figure was a block_until_ready artifact, retracted in
+    BENCH_DEVICE_r4). use_pallas selects the Mosaic fold kernel instead.
     """
     if use_pallas:
         try:

@@ -19,24 +19,39 @@ the device decodes the stream in FIXED-SHAPE TILES:
    dispatches back-to-back with no host sync. Tile-local offsets are
    int32 by construction, so streams of any size decode on device.
 
-2. Decode-table build — per-block canonical Huffman LUTs are built ON
-   DEVICE from the 318 code lengths the index carries: canonical codes via
-   rank-within-length, a scatter of (start<<9|sym) keys into 15-bit MSB
-   code space, cummax forward-fill, and a static bit-reversal permutation
-   into LSB window order.
+2. Decode-table build — per-block COMPARISON tables are built ON DEVICE
+   from the 318 code lengths the index carries: per-length first/count
+   boundaries (Moffat canonical decode), rank offsets, and a rank->entry
+   table; per-lane copies come off one one-hot MXU matmul per tile. XLA
+   lowers per-element gathers at ~90 M/s on this hardware generation
+   (BENCH_DEVICE_r4 gather_rate_probe), so the r2-r4 32K-entry LUT design
+   — whose build did a 32K-element bit-reversal permutation per block and
+   whose extract gathered the LUT twice per token — was gather-bound; this
+   formulation decodes with NO table gathers at all.
 
 3. Token extraction — every segment is a vector lane; each of the K steps
-   decodes one symbol per lane with a full 15-bit LUT gather (no slow
-   path). Length/distance extra bits fold into the same windowed read.
+   decodes one symbol per lane: 3 window-word reads (the only gathers),
+   then the code length via 14 range comparisons against the per-lane
+   first+count boundaries ((rev15(win) >> (15-len)) - first[len] <
+   count[len], branch-free as len = 1 + sum of exceedances), and the
+   packed symbol entry via a one-hot reduce over the per-lane rank->entry
+   row. Length/distance extra bits fold into the same 64-bit window.
 
-4. LZ resolution — tokens scatter their spans' metadata; per-byte source
-   indices resolve through chained back-references by pointer doubling
-   (S <- S[S]). Overlapping copies (dist < len) resolve in closed form
+4. LZ resolution — tokens scatter a packed (dist, literal) payload at
+   their output start (ONE full-domain scatter); a log-depth pair scan
+   forward-fills span starts + payloads. Literal bytes are fixpoints and
+   cost nothing further. Match bytes COMPACT into a tile_out/2-capacity
+   buffer (the planner cuts tiles on the scan's per-segment match-byte
+   counts, so the capacity is guaranteed): compact-domain spans come from
+   a token-level scatter + scan, chains resolve by pointer doubling over
+   the COMPACT set only (S <- S[S]), and resolved literal values scatter
+   back once. Overlapping copies (dist < len) resolve in closed form
    src = span_start - dist + (offset mod dist), so doubling only hops
    across distinct tokens. Halo bytes are literal fixpoints, which bounds
    every chain inside one tile; the doubling trip count comes from the
    scanner's exact max-depth as a DYNAMIC fori_loop bound (one executable
-   for any depth).
+   for any depth). Stored spans copy via per-span masked dynamic slices
+   (no per-byte gather).
 
 Integrity: the host scan walks every output byte anyway (copy-depth
 tracking) and records the adler32 of the serial-decode output in the index;
@@ -83,13 +98,19 @@ class TileConfig(NamedTuple):
     nblk: int       # Huffman table slots
     nsto: int       # stored-span slots
     nwords: int     # compressed uint32 words visible to the tile
+    ncmp: int       # compact match-byte slots (LZ resolve runs over these)
 
 
 def _mk_cfg(tile_out: int, nseg: int, nblk: int, nsto: int) -> TileConfig:
     # Word budget: ~1.1x the output (DEFLATE rarely expands past ~1.03x;
     # stored spans read their bytes from the words too) + header slack.
+    # Compact capacity tile_out/2: pointer-doubling rounds cost per COMPACT
+    # slot, and literals (the majority of bytes on most streams) never
+    # enter the compact set; match-heavier tiles simply cut earlier on the
+    # scan's per-segment match-byte counts.
     return TileConfig(tile_out, nseg, nblk, nsto,
-                      (tile_out + tile_out // 8 + (1 << 16)) // 4)
+                      (tile_out + tile_out // 8 + (1 << 16)) // 4,
+                      tile_out // 2)
 
 
 # S covers streams up to ~2 MiB; L is the streaming tile. nseg assumes
@@ -150,65 +171,109 @@ def _canonical_device(lens: jnp.ndarray) -> jnp.ndarray:
     return first[lens] + rank_s
 
 
-_REVPERM = _rev15(np.arange(1 << 15, dtype=np.int32))  # static permutation
+def _cmp_tables(lens: jnp.ndarray, ent_nolen: jnp.ndarray):
+    """Per-block comparison-decode tables from code lengths [nblk, S]:
+    fc[nblk,16] = first_code + count per length (the Moffat range
+    boundaries), off[nblk,16] = rank_base - first_code, and E[nblk,S] =
+    packed entry (ent | len) of the symbol at each canonical rank."""
+    nblk, S = lens.shape
+    Ls = jnp.arange(16, dtype=jnp.int32)
+    oh = lens[:, :, None] == Ls[None, None, :]  # [nblk, S, 16]
+    count = jnp.sum(oh.astype(jnp.int32), axis=1)  # [nblk, 16]
+    firsts = [jnp.zeros(nblk, jnp.int32), jnp.zeros(nblk, jnp.int32)]
+    for bits in range(2, 16):
+        firsts.append((firsts[bits - 1] + count[:, bits - 1]) << 1)
+    first = jnp.stack(firsts, axis=1)  # [nblk, 16]
+    fc = first + count
+    cnt_a = count.at[:, 0].set(0)  # length-0 = absent symbols
+    sym_base = jnp.cumsum(cnt_a, axis=1) - cnt_a  # ranks with shorter codes
+    off = sym_base - first
+    # Canonical rank of each symbol: sym_base[len] + rank-within-length.
+    rank_in = (jnp.cumsum(oh.astype(jnp.int32), axis=1)
+               - oh.astype(jnp.int32))
+    rank_l = jnp.take_along_axis(rank_in, lens[:, :, None], axis=2)[:, :, 0]
+    base_l = jnp.take_along_axis(sym_base, lens, axis=1)
+    rank_sym = base_l + rank_l
+    ent = (ent_nolen[None, :].astype(jnp.uint32)
+           | lens.astype(jnp.uint32)).astype(jnp.int32)
+    # Absent symbols scatter out of bounds (distinct, mode="drop").
+    pos = jnp.where(lens > 0, rank_sym,
+                    S + jnp.arange(S, dtype=jnp.int32)[None, :])
+    b_ix = jnp.broadcast_to(
+        jnp.arange(nblk, dtype=jnp.int32)[:, None], (nblk, S))
+    E = jnp.zeros((nblk, S), jnp.int32).at[b_ix, pos].set(
+        ent, mode="drop", unique_indices=True)
+    return fc, off, E
 
 
-def _lut_from_lens(lens: jnp.ndarray, ent_nolen: jnp.ndarray) -> jnp.ndarray:
-    """32768-entry LSB-first decode LUT for one block's table.
-
-    Canonical prefix codes partition 15-bit MSB code space into intervals
-    [code<<(15-len), (code+1)<<(15-len)); scatter a monotone
-    (start<<9 | sym) key at each interval start, cummax-fill forward, then
-    permute into LSB window order with the static 15-bit reversal."""
-    S = lens.shape[0]
-    codes = _canonical_device(lens)
-    start = codes << (15 - lens)
-    # Invalid syms scatter out of bounds (mode="drop"); offset by arange so
-    # the dropped indices stay distinct and the unique_indices promise holds.
-    pos = jnp.where(lens > 0, start,
-                    (1 << 20) + jnp.arange(S, dtype=jnp.int32))
-    key = (start << 9) | jnp.arange(S, dtype=jnp.int32)
-    filled = jax.lax.cummax(
-        jnp.zeros(1 << 15, dtype=jnp.int32).at[pos].set(
-            key, mode="drop", unique_indices=True))
-    sym_msb = filled & 511
-    sym_lsb = sym_msb[_REVPERM]
-    ent = ent_nolen | lens.astype(jnp.uint32)
-    return ent[jnp.clip(sym_lsb, 0, S - 1)]
+def _lane_rows(onehot_b, tbl):
+    """Select per-lane table rows WITHOUT a gather: one-hot [nseg, nblk]
+    f32 matmul (MXU) against the per-block table, split into 16-bit halves
+    so every value stays exactly representable through the matmul
+    (HIGHEST-precision f32 error << 0.5 for 16-bit magnitudes; round
+    recovers the integer). Row gathers measure ~52 M elements/s on this
+    chip (BENCH_DEVICE_r4 gather_rate_probe); the matmul is effectively
+    free. Values may be negative (off rows): split the value + 2^17 bias
+    so both halves are non-negative, and un-bias after."""
+    bt = tbl + (1 << 17)
+    hi = (bt >> 16).astype(jnp.float32)
+    lo = (bt & 0xFFFF).astype(jnp.float32)
+    mm = lambda t: jnp.round(
+        jax.lax.dot(onehot_b, t,
+                    precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+    return ((mm(hi) << 16) | mm(lo)) - (1 << 17)
 
 
-def _build_luts(lens8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-block (litlen, dist) LUTs [nblk, 32768] uint32 from the scanner's
-    code-length records [nblk, 318] uint8, entirely on device."""
+def _build_lane_tables(lens8: jnp.ndarray, seg_block: jnp.ndarray):
+    """Per-LANE decode tables [nseg, ...] from the scanner's code-length
+    records [nblk, 318], entirely on device and gather-free."""
     lens = lens8.astype(jnp.int32)
-    ll = jax.vmap(lambda l: _lut_from_lens(l, jnp.asarray(_LL_ENT)))(
-        lens[:, :288])
-    dd = jax.vmap(lambda l: _lut_from_lens(l, jnp.asarray(_D_ENT)))(
-        lens[:, 288:318])
-    return ll, dd
+    fc_l, off_l, E_l = _cmp_tables(lens[:, :288], jnp.asarray(_LL_ENT))
+    fc_d, off_d, E_d = _cmp_tables(lens[:, 288:318], jnp.asarray(_D_ENT))
+    nblk = lens.shape[0]
+    onehot_b = (seg_block[:, None] == jnp.arange(nblk, dtype=jnp.int32)
+                [None, :]).astype(jnp.float32)
+    return tuple(_lane_rows(onehot_b, t)
+                 for t in (fc_l, off_l, E_l, fc_d, off_d, E_d))
 
 
 # ---------------------------------------------------------------------------
 # The tile kernel: LUT build + token extraction + LZ resolution + checksums
 # ---------------------------------------------------------------------------
 
-def _read_window(words: jnp.ndarray, bitpos: jnp.ndarray) -> jnp.ndarray:
-    """32 valid stream bits starting at each bit offset (LSB-first)."""
-    i = (bitpos >> 5).astype(jnp.int32)
-    sh = (bitpos & 31).astype(_U32)
-    w0 = words[i]
-    w1 = words[i + 1]
-    hi = jnp.where(sh == 0, _U32(0), w1 << (_U32(32) - sh))
-    return (w0 >> sh) | hi
+def _cmp_decode(r, fc, off, E):
+    """One comparison-based canonical-Huffman decode across all lanes.
+    `r` is the bit-reversed 15-bit window (MSB-first code space, int32);
+    fc/off/E are the per-lane tables. Returns (entry int32, len int32).
+
+    Canonical codes put every length-L' > L code's L-bit prefix at or above
+    first[L]+count[L], and every length-<=L code below it, so the true
+    length is 1 + the number of exceeded boundaries — 14 compares, no
+    gather, no branch (Moffat's one-shift decode, vectorized)."""
+    S = E.shape[1]
+    Ls = jnp.arange(1, 15, dtype=jnp.int32)
+    exceeded = (r[:, None] >> (15 - Ls)[None, :]) >= fc[:, 1:15]
+    cl = 1 + jnp.sum(exceeded.astype(jnp.int32), axis=1)  # [nseg] in 1..15
+    code = r >> (15 - cl)
+    len_oh = cl[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+    off_sel = jnp.sum(jnp.where(len_oh, off, 0), axis=1)
+    rank = code + off_sel
+    rank_oh = rank[:, None] == jnp.arange(S, dtype=jnp.int32)[None, :]
+    e = jnp.sum(jnp.where(rank_oh, E, 0), axis=1)
+    return e, cl
 
 
-def _extract(words, seg_bit, seg_block, seg_ntok, ll_luts, d_luts, k: int):
+def _extract(words, seg_bit, seg_ntok, tabs, k: int):
     """Decode up to k tokens per segment, all segments in parallel.
 
     Returns packed int32 [k, nseg]: bits16-24 out_len, low 16 bits are the
     literal byte (< 256) or dist+256; invalid slots (i >= ntok) are 0.
+    The ONLY gathers are the 3 window-word reads per step (64 valid bits
+    cover litlen code+extra+dist code+extra, max 48); symbol decode is
+    pure comparisons + one-hot reduces over the per-lane tables.
     """
     nseg = seg_bit.shape[0]
+    fc_l, off_l, E_l, fc_d, off_d, E_d = tabs
     # [k, nseg] layout: the per-step update writes one contiguous ROW
     # (a strided column update would materialize a copy of the whole array
     # every iteration).
@@ -217,23 +282,33 @@ def _extract(words, seg_bit, seg_block, seg_ntok, ll_luts, d_luts, k: int):
     def step(i, carry):
         bit, packed = carry
         active = i < seg_ntok
-        win = _read_window(words, bit)
-        e = ll_luts[seg_block, (win & _MASK15).astype(jnp.int32)]
-        cl = (e & 31).astype(_U32)
+        iw = bit >> 5
+        sh = (bit & 31).astype(_U32)
+        w0 = words[iw]
+        w1 = words[iw + 1]
+        w2 = words[iw + 2]
+        nsh = _U32(32) - sh
+        lo = (w0 >> sh) | jnp.where(sh == 0, _U32(0), w1 << nsh)
+        hi = (w1 >> sh) | jnp.where(sh == 0, _U32(0), w2 << nsh)
+        r = _rev15(lo & _MASK15).astype(jnp.int32)
+        e, cl = _cmp_decode(r, fc_l, off_l, E_l)
         is_lit = ((e >> 5) & 1).astype(jnp.bool_)
-        lb = ((e >> 8) & 0xFF).astype(jnp.int32)
-        lbase = ((e >> 16) & 0x1FF).astype(jnp.int32)
+        lb = (e >> 8) & 0xFF
+        lbase = (e >> 16) & 0x1FF
         lx = ((e >> 25) & 7).astype(_U32)
-        length = lbase + ((win >> cl) & ((_U32(1) << lx) - 1)).astype(jnp.int32)
-        bit2 = bit + (cl + lx).astype(jnp.int32)
-        win2 = _read_window(words, bit2)
-        de = d_luts[seg_block, (win2 & _MASK15).astype(jnp.int32)]
-        dcl = (de & 31).astype(_U32)
+        clu = cl.astype(_U32)
+        length = lbase + ((lo >> clu) & ((_U32(1) << lx) - 1)).astype(
+            jnp.int32)
+        sh2 = clu + lx  # >= 1 (cl >= 1), <= 20: dist code starts in-window
+        lo2 = (lo >> sh2) | (hi << (_U32(32) - sh2))
+        r2 = _rev15(lo2 & _MASK15).astype(jnp.int32)
+        de, dcl = _cmp_decode(r2, fc_d, off_d, E_d)
         dx = ((de >> 5) & 15).astype(_U32)
-        dbase = ((de >> 16) & _MASK15).astype(jnp.int32) + 1
-        dist = dbase + ((win2 >> dcl) & ((_U32(1) << dx) - 1)).astype(jnp.int32)
-        nbit = jnp.where(is_lit, bit + cl.astype(jnp.int32),
-                         bit2 + (dcl + dx).astype(jnp.int32))
+        dbase = ((de >> 16) & 0x7FFF) + 1
+        dist = dbase + ((lo2 >> dcl.astype(_U32))
+                        & ((_U32(1) << dx) - 1)).astype(jnp.int32)
+        nbit = jnp.where(is_lit, bit + cl,
+                         bit + (sh2 + dcl.astype(_U32) + dx).astype(jnp.int32))
         val = jnp.where(is_lit, (1 << 16) | lb,
                         (length << 16) | (dist + 256))
         packed = packed.at[i].set(jnp.where(active, val, 0))
@@ -245,16 +320,39 @@ def _extract(words, seg_bit, seg_block, seg_ntok, ll_luts, d_luts, k: int):
     return packed
 
 
+_STO_MAX = 1 << 16  # a stored span's LEN field is 16-bit
+
+
+def _last_set(a, b):
+    """Associative 'last non-null wins' combine over (flag+payload, *rest)
+    tuples — element 0 doubles as the set flag (nonzero = set)."""
+    sel = b[0] != 0
+    return tuple(jnp.where(sel, xb, xa) for xa, xb in zip(a, b))
+
+
 def _resolve(packed, seg_out, words, sto_src, sto_out, sto_len, halo,
-             nrounds, out_pad: int):
+             nrounds, cfg: TileConfig):
     """Materialize output bytes from extracted tokens + stored spans.
 
     Layout: positions [0, HALO) are the carried window (literal fixpoints
-    valued from `halo`); tile output occupies [HALO, out_pad)."""
+    valued from `halo`); tile output occupies [HALO, out_pad).
+
+    Gather discipline (gathers lower at ~90 M/s on this chip — they ARE
+    the cost model): one token-level scatter fills per-byte span metadata
+    (log-depth pair scan, no gather); literal bytes finish there (a
+    literal token is 1 byte, so its scattered payload sits AT its byte);
+    stored spans copy via per-span masked dynamic slices; only MATCH bytes
+    — compacted into the cfg.ncmp-slot buffer the planner sized from the
+    scan's per-segment match counts — pay pointer-doubling gathers, one
+    per compact slot per round, plus one value gather and one scatter-back.
+    """
+    out_pad = HALO + cfg.tile_out
+    C = cfg.ncmp
     out_len = (packed >> 16).T  # [nseg, k]
     low = (packed & 0xFFFF).T
-    dists = jnp.where(low >= 256, low - 256, 0)
-    litbyte = jnp.where(low < 256, low, 0)
+    is_mt = low >= 256
+    dists = jnp.where(is_mt, low - 256, 0)
+    litbyte = jnp.where(is_mt, 0, low)
 
     # Token output start positions (exact: per-segment base from the index).
     starts = seg_out[:, None].astype(jnp.int32) + (
@@ -263,57 +361,109 @@ def _resolve(packed, seg_out, words, sto_src, sto_out, sto_len, halo,
     flat_starts = jnp.where(valid, starts, out_pad).reshape(-1)
     flat_dist = dists.reshape(-1)
     flat_lit = litbyte.reshape(-1)
+    flat_mlen = jnp.where(is_mt & valid, out_len, 0).reshape(-1)
 
-    # Per-byte span metadata via scatter + running max of span starts.
-    # unique_indices: token start positions never collide (invalid slots
-    # point at out_pad and are dropped), which lets XLA vectorize the
-    # scatter instead of serializing it on the TPU.
     j = jnp.arange(out_pad, dtype=jnp.int32)
-    span_at = jnp.zeros(out_pad, dtype=jnp.int32).at[flat_starts].set(
+    # ONE full-domain token scatter: packed (dist << 9 | lit << 1 | 1)
+    # payload at each token's first output byte (token starts never
+    # collide; invalid slots point at out_pad and are dropped, which keeps
+    # the unique_indices promise and lets XLA vectorize the scatter).
+    # A log-depth pair scan forward-fills (span_start, payload).
+    payload = (flat_dist << 9) | (flat_lit << 1) | 1
+    pay_at = jnp.zeros(out_pad, dtype=jnp.int32).at[flat_starts].set(
+        payload, mode="drop", unique_indices=True)
+    pay, span_start = jax.lax.associative_scan(
+        _last_set, (pay_at, jnp.where(pay_at != 0, j, 0)))
+    dist_span = pay >> 9
+    lit_at = (pay >> 1) & 0xFF
+
+    # Literal-token bytes are 1-byte spans: the scattered payload sits AT
+    # the byte itself, so lit_at needs no span_start gather. Halo bytes
+    # are the carried window (plain concatenation, not a gather).
+    lit_base = jnp.concatenate([halo.astype(jnp.int32), lit_at[HALO:]])
+
+    # Stored spans: per-span masked copy via dynamic slices (a span is
+    # contiguous in both the source words and the output, so no per-byte
+    # gather). Empty slots carry sto_out = out_pad and write nothing.
+    bytes_full = ((words[:, None] >> (_U32(8) * jnp.arange(
+        4, dtype=_U32)[None, :])) & _U32(0xFF)).astype(jnp.int32).reshape(-1)
+    bpad = jnp.concatenate(
+        [bytes_full, jnp.zeros(_STO_MAX, jnp.int32)])
+    lb_pad = jnp.concatenate([lit_base, jnp.zeros(_STO_MAX, jnp.int32)])
+    sm_pad = jnp.zeros(out_pad + _STO_MAX, jnp.int32)
+    iota_sto = jnp.arange(_STO_MAX, dtype=jnp.int32)
+
+    def sbody(s, carry):
+        lbp, smp = carry
+        ln = sto_len[s]
+        src0 = jnp.clip(sto_src[s], 0, bpad.shape[0] - _STO_MAX)
+        o0 = jnp.clip(sto_out[s], 0, out_pad)
+        chunk = jax.lax.dynamic_slice(bpad, (src0,), (_STO_MAX,))
+        m = iota_sto < ln
+        cur = jax.lax.dynamic_slice(lbp, (o0,), (_STO_MAX,))
+        lbp = jax.lax.dynamic_update_slice(
+            lbp, jnp.where(m, chunk, cur), (o0,))
+        curm = jax.lax.dynamic_slice(smp, (o0,), (_STO_MAX,))
+        smp = jax.lax.dynamic_update_slice(
+            smp, jnp.where(m, 1, curm), (o0,))
+        return lbp, smp
+
+    lb_pad, sm_pad = jax.lax.fori_loop(
+        0, sto_len.shape[0], sbody, (lb_pad, sm_pad))
+    lit_base = lb_pad[:out_pad]
+    in_sto = sm_pad[:out_pad] > 0
+
+    # Match-byte compaction. Full-domain compact index (cumsum, no gather)
+    # is consistent with the token-level compact bases: tokens partition
+    # the content range contiguously in output order, so byte i of match
+    # token t sits at compact slot cb[t] + i. (Payload fill bleeds past
+    # the LAST token into the tile's padding; those phantom slots sort
+    # after every real match byte and are masked by total_m below.)
+    is_m = (dist_span > 0) & ~in_sto & (j >= HALO)
+    cidx = jnp.cumsum(is_m.astype(jnp.int32)) - 1
+    pfull = jnp.where(is_m, cidx, -(j + 1))
+
+    cb = jnp.cumsum(flat_mlen) - flat_mlen
+    total_m = jnp.sum(flat_mlen)
+    cpos = jnp.where(flat_mlen > 0, cb, C)
+    fs_at = jnp.zeros(C, jnp.int32).at[cpos].set(
         flat_starts, mode="drop", unique_indices=True)
-    span_start = jax.lax.cummax(span_at)
-    dist_at = jnp.zeros(out_pad, dtype=jnp.int32).at[flat_starts].set(
+    d_at = jnp.zeros(C, jnp.int32).at[cpos].set(
         flat_dist, mode="drop", unique_indices=True)
-    lit_at = jnp.zeros(out_pad, dtype=jnp.int32).at[flat_starts].set(
-        flat_lit, mode="drop", unique_indices=True)
-    dist_span = dist_at[span_start]
+    ii = jnp.arange(C, dtype=jnp.int32)
+    fs_f, cb_f, d_f = jax.lax.associative_scan(
+        _last_set, (fs_at, jnp.where(fs_at != 0, ii, 0), d_at))
 
-    # Stored spans: bytes come straight from the (tile-local) source words.
-    nsto = sto_out.shape[0]
-    sid = jnp.clip(
-        jnp.searchsorted(sto_out, j, side="right") - 1, 0, nsto - 1)
-    in_sto = (j >= sto_out[sid]) & (j < sto_out[sid] + sto_len[sid])
-    spos = (sto_src[sid] + (j - sto_out[sid])).astype(jnp.int32)
-    sbyte = ((words[spos >> 2] >> ((spos & 3) * 8).astype(_U32))
-             & 0xFF).astype(jnp.int32)
-
-    in_halo = j < HALO
-    is_literal = in_halo | in_sto | (dist_span == 0)
     # Overlapping copies (dist < len) resolve in closed form: byte at span
     # offset o reads span_start - d + (o mod d), which collapses the whole
     # intra-span chain (a dist-1 run of any length resolves in ZERO hops).
-    # Remaining chains only hop across distinct tokens and terminate at the
-    # halo (fixpoints), so they are tile-local.
-    o = j - span_start
-    d_safe = jnp.maximum(dist_span, 1)
-    # minimum(src, j) guarantees every pointer is a fixpoint or strictly
-    # decreasing, so doubling cannot cycle even on a corrupt index.
-    src_ix = jnp.minimum(
-        jnp.where(is_literal, j, span_start - dist_span + o % d_safe), j)
-    src_ix = jnp.maximum(src_ix, 0)
-    lit_val = jnp.where(
-        in_halo, halo[jnp.minimum(j, HALO - 1)].astype(jnp.int32),
-        jnp.where(in_sto, sbyte, lit_at[span_start])).astype(jnp.uint8)
+    # Remaining chains only hop across distinct tokens and terminate at
+    # literals/halo/stored bytes (fixpoints), so they are tile-local.
+    o = ii - cb_f
+    d_safe = jnp.maximum(d_f, 1)
+    f_i = fs_f + o  # full position of compact byte i
+    # clip(t, 0, f_i - 1 at most): real targets are strictly earlier bytes
+    # (d >= 1, o mod d < d), so chains strictly decrease and cannot cycle
+    # even on a corrupt index (the adler gate catches wrong bytes).
+    t = jnp.clip(fs_f - d_f + o % d_safe, 0, out_pad - 1)
+    p = pfull[t]
 
-    # Pointer doubling: S <- S[S] until every byte points at a literal.
-    # Convergence is guaranteed — match bytes satisfy S[j] <= j (clamped),
-    # literals are fixpoints — and chains halve per hop. The trip count is
-    # a DYNAMIC fori_loop bound fed from the scanner's exact max depth
-    # (XLA lowers it to an on-device counted While: one executable for any
-    # depth, no host sync per iteration — unlike a data-dependent
-    # convergence cond, which costs ~18 ms/iter on remote dispatch).
-    src_ix = jax.lax.fori_loop(0, nrounds, lambda i, s: s[s], src_ix)
-    return lit_val[src_ix]
+    # Pointer doubling over the COMPACT set: p < 0 encodes a resolved
+    # literal source -(pos+1); p >= 0 points at the compact slot of the
+    # next unresolved hop. The trip count is a DYNAMIC fori_loop bound fed
+    # from the scanner's exact max depth (an on-device counted While: one
+    # executable for any depth, no host sync per iteration — unlike a
+    # data-dependent convergence cond at ~18 ms/iter on remote dispatch).
+    def rnd(_, p):
+        return jnp.where(p < 0, p, p[jnp.clip(p, 0, C - 1)])
+
+    p = jax.lax.fori_loop(0, nrounds, rnd, p)
+    res = jnp.clip(-p - 1, 0, out_pad - 1)
+    vals = lit_base[res]
+    fpos = jnp.where((ii < total_m) & (fs_f > 0),
+                     jnp.clip(f_i, 0, out_pad), out_pad)
+    out = lit_base.at[fpos].set(vals, mode="drop", unique_indices=True)
+    return out.astype(jnp.uint8)
 
 
 # -- On-device checksum combining (GF(2) shift for crc, modular for adler) --
@@ -418,12 +568,10 @@ def _decode_tile(pack, halo, adler_acc, crc_acc, *, k: int, cfg: TileConfig,
         seg_out = jax.lax.with_sharding_constraint(
             seg_out, NamedSharding(mesh, P(axis)))
 
-    out_pad = HALO + cfg.tile_out
-    ll_luts, d_luts = _build_luts(lens8)
-    packed = _extract(words, seg_pack[0], seg_pack[1], seg_pack[2],
-                      ll_luts, d_luts, k)
+    tabs = _build_lane_tables(lens8, seg_pack[1])
+    packed = _extract(words, seg_pack[0], seg_pack[2], tabs, k)
     out = _resolve(packed, seg_out, words, sto_pack[0], sto_pack[1],
-                   sto_pack[2], halo, nrounds, out_pad)
+                   sto_pack[2], halo, nrounds, cfg)
     halo_next = jax.lax.dynamic_slice(out, (used,), (HALO,))
     # Tile checksums over out[HALO:HALO+used] (bytes past `used` are
     # unresolved garbage — mask before folding).
@@ -477,10 +625,14 @@ def _plan_tiles(index, cfg: TileConfig) -> list[_Tile]:
     ent_end_bit = np.maximum(
         ent_end_bit,
         np.concatenate([np.zeros(nseg, np.int64), sto_end_bit])[order])
-    # +2 words: _read_window reads words[i+1] at the last bit position.
-    ent_word_end = (ent_end_bit + 31) // 32 + 2
+    # +3 words: the 64-bit window read touches words[i+2] at the last bit.
+    ent_word_end = (ent_end_bit + 31) // 32 + 3
     ent_blk = np.concatenate(
         [seg[:, 2], np.full(nsto, -1, np.int64)])[order]
+    # Match-byte capacity: the compact LZ-resolve buffer holds cfg.ncmp
+    # slots; the scan's per-segment match-byte counts bound each tile.
+    ent_match = np.concatenate([seg[:, 4], np.zeros(nsto, np.int64)])[order]
+    cum_match = np.cumsum(ent_match)
     cum_seg = np.cumsum(ent_is_seg)
     cum_sto = np.cumsum(~ent_is_seg)
     # Running max block id (block ids are nondecreasing over segments but
@@ -501,6 +653,9 @@ def _plan_tiles(index, cfg: TileConfig) -> list[_Tile]:
             side="right"))
         j = int(min(j, np.searchsorted(
             ent_word_end, w0 + cfg.nwords, side="right")))
+        j = int(min(j, np.searchsorted(
+            cum_match, (cum_match[i] - ent_match[i]) + cfg.ncmp,
+            side="right")))
         # Distinct blocks referenced so far: ids are contiguous nondecreasing.
         first_blk = int(ent_blk[i]) if ent_is_seg[i] else int(
             max(blk_ffill[i], 0))
