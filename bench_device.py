@@ -29,7 +29,7 @@ import time
 
 import numpy as np
 
-ARTIFACT = "BENCH_DEVICE_r4.json"
+ARTIFACT = "BENCH_DEVICE_r5.json"
 
 # TPU v5e (1 chip): ~819 GB/s HBM bandwidth. The memory-bound rooflines
 # below are stated against it.
@@ -267,8 +267,10 @@ def main() -> None:
             ms_per_tile=round(dt * 1e3, 1),
             roofline_gbps=round(roof, 1),
             roofline_frac=round(gbps / roof, 4),
-            note="chained-dependency timing; XLA per-element gathers "
-                 "(~60M/s) bound the Huffman-LUT extract + LZ resolve")
+            note="chained-dependency timing; r5 kernel: comparison-based "
+                 "Huffman extract (window-word reads are the only "
+                 "per-step gathers) + compacted LZ resolve (doubling "
+                 "over match bytes only)")
 
         # e2e to DEVICE-RESIDENT output (the serving surface: compressed
         # host bytes -> decoded HBM buffer for an on-chip consumer;
@@ -286,6 +288,32 @@ def main() -> None:
             note="host compressed bytes -> verified device-resident "
                  "output; host-bytes-out e2e is tunnel-download-bound "
                  "(see tunnel_download) and served by the native codec")
+
+    # ------------------------------------------------------------------
+    # Indexed scan-free decode (encode-time index, the SURVEY §5 decode
+    # seam): members carry their full decode index in sidecar members, so
+    # the device decode of our own output does ZERO host scanning.
+    # ------------------------------------------------------------------
+    from zippy_tpu import gzip_format as gf
+
+    src8 = (urls * 12)[: 8 << 20]
+    iblob = gf.compress_device_indexed(src8, 6, member_size=2 << 20)
+    plain = gf.compress_indexed(src8, 6, member_size=2 << 20)
+    parts = gf.uncompress_device(iblob, array=True)
+    got = b"".join(np.asarray(a)[:t].tobytes() for a, t in parts)
+    assert got == src8, "indexed device decode mismatch"
+
+    def dec_indexed():
+        return [a for a, _ in gf.uncompress_device(iblob, array=True)]
+
+    dt = _bench(dec_indexed, reps=4, batches=2, spread_s=1.0)
+    rec("device_inflate_indexed_e2e_resident_8mib",
+        len(src8) / dt / 1e9, "GB/s",
+        index_overhead_pct=round(
+            100 * (len(iblob) - len(plain)) / len(plain), 1),
+        note="host bytes WITH encode-time index -> verified device-"
+             "resident members, zero host scanning (vs decode_scan_* "
+             "rows, which the un-indexed path pays first)")
 
     # ------------------------------------------------------------------
     # Fused device encode (one dispatch per block group: match + select +
@@ -335,6 +363,36 @@ def main() -> None:
             note="one fused dispatch incl. on-device Huffman + header "
                  "cost; chained-dependency timing")
 
+        # Stage attribution (VERDICT r4 weak 3): the matcher alone
+        # (find_tokens: sort + word scoring + extension + reach) vs the
+        # rest (Huffman build + header cost + bit pack), chained the same
+        # way through a data-dependent operand.
+        def find_chain(n=4, reps=3):
+            best = float("inf")
+            for r in range(reps):
+                hl_c = args[2]
+                tk = dd._find_tokens_batch(args[0], args[1], hl_c, k=k,
+                                           lazy=lazy, hist=hist, min3=min3)
+                int(tk["ll_hist"][0, 0])  # warm + sync
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    hl_c = args[2] + (tk["ll_hist"][:, 0] % 1).astype(
+                        args[2].dtype)
+                    tk = dd._find_tokens_batch(args[0], args[1], hl_c, k=k,
+                                               lazy=lazy, hist=hist,
+                                               min3=min3)
+                int(tk["ll_hist"][0, 0])
+                best = min(best, (time.perf_counter() - t0) / n)
+                time.sleep(1.0)
+            return best
+
+        ft = find_chain()
+        rec(f"device_encode_stage_find_L{level}", ft * 1e3, "ms",
+            of_total_ms=round(dt * 1e3, 1),
+            note="matcher stage alone (sort + word-window scoring + "
+                 "extension + reach); remainder of the group dispatch is "
+                 "Huffman build + header cost + pack")
+
     # ------------------------------------------------------------------
     # Warm-path first-call latencies (the user-facing cold story after
     # one warmup call): library-surface decode + encode.
@@ -349,6 +407,15 @@ def main() -> None:
                              engine_name="device")
     assert _zlib.decompress(out, wbits=-15) == urls
     rec("warm_first_compress_device", time.perf_counter() - t0, "s")
+    # Attribution for the first-call number (VERDICT r4 weak 4): the
+    # steady-state call on the SAME executable — the difference is
+    # one-time argument layout/donation setup, not per-call work.
+    t0 = time.perf_counter()
+    out = zippy_tpu.compress(urls, 1, zippy_tpu.dfDeflate,
+                             engine_name="device")
+    rec("warm_second_compress_device", time.perf_counter() - t0, "s",
+        note="same executable, steady state; first-call minus this is "
+             "one-time dispatch setup")
 
     # Merge best-of with any previous artifact (GB/s rows keep the max,
     # latency rows the min): legitimate under min-based methodology on a
@@ -374,7 +441,7 @@ def main() -> None:
     except Exception:
         pass
     artifact = {
-        "round": 4,
+        "round": 5,
         "device": str(dev),
         "date": time.strftime("%Y-%m-%d"),
         "method": "min over reps spread across sleep-separated batches, "

@@ -323,11 +323,23 @@ def _extract(words, seg_bit, seg_ntok, tabs, k: int):
 _STO_MAX = 1 << 16  # a stored span's LEN field is 16-bit
 
 
-def _last_set(a, b):
-    """Associative 'last non-null wins' combine over (flag+payload, *rest)
-    tuples — element 0 doubles as the set flag (nonzero = set)."""
-    sel = b[0] != 0
-    return tuple(jnp.where(sel, xb, xa) for xa, xb in zip(a, b))
+def _ffill_span(*arrays):
+    """Forward-fill (last-set wins) arrays whose set positions are never
+    more than 511 apart from the positions that need them: 9 rounds of
+    shifted selects (static pad+slice, no gather, no custom-combine
+    associative_scan — which the detached-TPU backend compiler chews on
+    for MINUTES even standalone). arrays[0] doubles as the set flag
+    (nonzero = set). DEFLATE guarantees the bound: a token's payload only
+    needs to reach its own span's bytes, and spans are <= 258 bytes;
+    bytes further from any token start (stored spans, tile padding) are
+    masked by their own flags downstream."""
+    outs = list(arrays)
+    for s in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+        flag = outs[0] != 0
+        outs = [jnp.where(flag, o,
+                          jnp.concatenate([jnp.zeros(s, o.dtype), o[:-s]]))
+                for o in outs]
+    return outs
 
 
 def _resolve(packed, seg_out, words, sto_src, sto_out, sto_len, halo,
@@ -372,8 +384,7 @@ def _resolve(packed, seg_out, words, sto_src, sto_out, sto_len, halo,
     payload = (flat_dist << 9) | (flat_lit << 1) | 1
     pay_at = jnp.zeros(out_pad, dtype=jnp.int32).at[flat_starts].set(
         payload, mode="drop", unique_indices=True)
-    pay, span_start = jax.lax.associative_scan(
-        _last_set, (pay_at, jnp.where(pay_at != 0, j, 0)))
+    pay, span_start = _ffill_span(pay_at, jnp.where(pay_at != 0, j, 0))
     dist_span = pay >> 9
     lit_at = (pay >> 1) & 0xFF
 
@@ -431,8 +442,8 @@ def _resolve(packed, seg_out, words, sto_src, sto_out, sto_len, halo,
     d_at = jnp.zeros(C, jnp.int32).at[cpos].set(
         flat_dist, mode="drop", unique_indices=True)
     ii = jnp.arange(C, dtype=jnp.int32)
-    fs_f, cb_f, d_f = jax.lax.associative_scan(
-        _last_set, (fs_at, jnp.where(fs_at != 0, ii, 0), d_at))
+    fs_f, cb_f, d_f = _ffill_span(
+        fs_at, jnp.where(fs_at != 0, ii, 0), d_at)
 
     # Overlapping copies (dist < len) resolve in closed form: byte at span
     # offset o reads span_start - d + (o mod d), which collapses the whole
