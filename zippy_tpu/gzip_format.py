@@ -500,10 +500,33 @@ def uncompress_device(src: bytes, array: bool = False):
             if index is None:
                 index = idev.build_decode_index(
                     member, hdr["data_offset"] * 8)
-            arr, total = idev.inflate_device_array(member, index)
-            parts.append((arr, total))
+            # Dispatch only — accumulators stay on device so members
+            # pipeline back-to-back; all verification fetches batch below
+            # (a per-member scalar fetch is a host round trip, tens of ms
+            # under tenant contention).
+            arr, total, aacc, cacc = idev.inflate_device_array_acc(
+                member, index)
+            want_crc, want_isize = struct.unpack_from(
+                "<II", member, len(member) - 8)
+            parts.append((arr, total, aacc, cacc, int(index["adler"]),
+                          want_crc, want_isize))
         else:
             parts.append(idev.uncompress_gzip_device(member, index))
     if array:
-        return parts
+        import jax
+
+        jax.block_until_ready([p[0] for p in parts if p[0] is not None])
+        out = []
+        for arr, total, aacc, cacc, want_adler, want_crc, want_isize in parts:
+            if total:
+                if int(aacc) != want_adler:
+                    raise ZippyError(
+                        "Device decode verification failed (output "
+                        "checksum does not match the scan)")
+                if int(cacc) != want_crc:
+                    raise ZippyError("Checksum verification failed")
+            if want_isize != total & 0xFFFFFFFF:
+                raise ZippyError("Size verification failed")
+            out.append((arr, total))
+        return out
     return b"".join(parts)

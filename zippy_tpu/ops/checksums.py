@@ -317,16 +317,29 @@ def _crc32_raw_mxu(data: jnp.ndarray) -> jnp.ndarray:
     negligible — the cost is the 16x bit-plane materialization traffic,
     still ~6x less work than the select-XOR chain (CLAUDE.md r4 design,
     VERDICT r4 item 6)."""
-    d = data.reshape(-1, _MXU_CHUNK_WORDS, 4).astype(jnp.uint32)
-    w = (d[..., 0] | (d[..., 1] << jnp.uint32(8))
-         | (d[..., 2] << jnp.uint32(16)) | (d[..., 3] << jnp.uint32(24)))
-    bits = ((w[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
-            & jnp.uint32(1)).astype(jnp.bfloat16).reshape(w.shape[0], -1)
     M = jnp.asarray(_chunk_bit_matrix(), dtype=jnp.bfloat16)
-    counts = jax.lax.dot(bits, M, preferred_element_type=jnp.float32)
-    par = counts.astype(jnp.int32) & 1
-    raw = jnp.sum(par.astype(jnp.uint32)
-                  << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+
+    def slab_raws(slab: jnp.ndarray) -> jnp.ndarray:
+        d = slab.reshape(-1, _MXU_CHUNK_WORDS, 4).astype(jnp.uint32)
+        w = (d[..., 0] | (d[..., 1] << jnp.uint32(8))
+             | (d[..., 2] << jnp.uint32(16)) | (d[..., 3] << jnp.uint32(24)))
+        bits = ((w[:, :, None]
+                 >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+                & jnp.uint32(1)).astype(jnp.bfloat16).reshape(w.shape[0], -1)
+        counts = jax.lax.dot(bits, M, preferred_element_type=jnp.float32)
+        par = counts.astype(jnp.int32) & 1
+        return jnp.sum(par.astype(jnp.uint32)
+                       << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+
+    # The bit planes inflate data 16x (plus broadcast temporaries), so big
+    # inputs stream through fixed 4 MiB slabs under lax.map (serial, one
+    # buffer) instead of materializing gigabytes at once (a 64 MiB input
+    # OOMed 16 GB of HBM when done in one shot).
+    slab = 4 << 20
+    if data.shape[0] > slab:
+        raw = jax.lax.map(slab_raws, data.reshape(-1, slab)).reshape(-1)
+    else:
+        raw = slab_raws(data)
     return _fold_raw(raw, 8)  # chunk unit = 1024 B = 4*2^8
 
 
@@ -367,13 +380,15 @@ def _crc32_padded(data: jnp.ndarray, init_term: jnp.ndarray) -> jnp.ndarray:
     Leading zero bytes are free in raw space (T0[0] == 0), so callers pad at
     the FRONT to a power-of-two word count. `init_term` = shift8^n(0xFFFFFFFF),
     host-computed per call (32x32 GF(2) square-multiply, microseconds).
-    Inputs >= 64 KiB take the MXU bit-plane path (_crc32_raw_mxu); small
-    inputs keep the select-XOR chain (matmul setup doesn't amortize).
+
+    The MXU bit-plane alternative (_crc32_raw_mxu) was benched on chip and
+    LOSES: 0.674 GB/s vs this form's 1.9 GB/s on 64 MiB (chained timing,
+    BENCH_DEVICE_r5) — the 0/1 bit-plane materialization plus its u32
+    broadcast temporaries cost ~10-100x the input in HBM traffic, which no
+    matmul cheapness recovers. Kept as the documented dead end (VERDICT r4
+    item 6); the select-XOR chain remains the device crc path.
     """
-    if data.shape[0] >= (1 << 16):
-        raw = _crc32_raw_mxu(data)
-    else:
-        raw = _crc32_raw_words(_words_raw_crc(data))
+    raw = _crc32_raw_words(_words_raw_crc(data))
     return raw ^ init_term ^ jnp.uint32(0xFFFFFFFF)
 
 
@@ -420,11 +435,11 @@ def _bucket_pad(arr, multiple: int, front: bool = False):
 def crc32_device(data, *, use_pallas: bool = False) -> int:
     """CRC-32 computed on the accelerator. Accepts bytes or uint8 array.
 
-    Default is pure XLA: the GF(2) bit-linear select-XOR form for small
-    inputs and the MXU bit-plane popcount-matmul for >= 64 KiB, folded by
-    the log tree (chained-dependency numbers in BENCH_DEVICE_r5.json; the
-    r2 "329 GB/s" figure was a block_until_ready artifact, retracted in
-    BENCH_DEVICE_r4). use_pallas selects the Mosaic fold kernel instead.
+    Default is pure XLA: the GF(2) bit-linear select-XOR form + log-tree
+    fold, ~1.9 GB/s chained on 64 MiB (BENCH_DEVICE_r5; the r2 "329 GB/s"
+    figure was a block_until_ready artifact, retracted in r4; the MXU
+    bit-plane alternative measured 0.674 GB/s and is kept only as a
+    documented dead end). use_pallas selects the Mosaic fold kernel.
     """
     if use_pallas:
         try:

@@ -167,8 +167,6 @@ def find_tokens(data_pad: jnp.ndarray, n: jnp.ndarray,
     wiw = jnp.stack(
         [W[hist + 4 * w : hist + 4 * w + N] for w in range(NWIN)], axis=1)
     cj = jnp.maximum(cands_pos, 0)
-    wjw = W[cj[:, :, None]
-            + 4 * jnp.arange(NWIN, dtype=jnp.int32)[None, None, :]]
 
     def _first_diff(xi, xj, nwords, cap):
         """Byte index of the first mismatch between two word windows
@@ -184,22 +182,64 @@ def find_tokens(data_pad: jnp.ndarray, n: jnp.ndarray,
         return jnp.minimum(jnp.where(anyx, 4 * fw + inner, 4 * nwords),
                            cap)
 
-    mlen = _first_diff(wiw[:, None, :], wjw, NWIN, L_CMP)       # (N, k)
-
     dist = i_abs[:, None] - cands_pos                           # (N, k)
     # Candidates inside the unreal part of the prefix (< hist - hist_len)
     # would match padding zeros; exclude them along with -1 sentinels.
     ok = (cands_pos >= hist - hist_len) & (cands_pos >= 0) & (
         dist <= tables.MAX_WINDOW_SIZE)
-    mlen = jnp.where(ok, mlen, 0)
-    # Don't run past the real end of the block.
-    mlen = jnp.minimum(mlen, jnp.maximum(n - i_rel, 0)[:, None])
+    nrem = jnp.maximum(n - i_rel, 0)
 
-    # Best candidate: longest match, then nearest (larger j).
-    score = (mlen << 17) + cands_pos
-    best = jnp.argmax(score, axis=1)
-    l_best = jnp.take_along_axis(mlen, best[:, None], axis=1)[:, 0]
-    d_best = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    if k >= 4:
+        # Two-phase ranking: the candidate-side word gathers ARE the
+        # matcher's cost (BENCH_DEVICE_r5 stage rows), so rank all k on a
+        # 32-byte window and rescore only the TOP THREE at the full
+        # 64-byte cap — k*8 + 3*17 gathered words per position instead of
+        # k*17 (28% fewer at k=12, ~43% at k=32; top-2 lost geo.protodata
+        # its L6 ratio gate by 6 bytes, top-3 restores it). Ties above 32
+        # bytes resolve by recency among the finalists; a fourth
+        # candidate that only wins past 32 bytes is the (rare)
+        # approximation, priced by the same ratio gates that judge the
+        # parse.
+        NR = 8
+        wjw_r = W[cj[:, :, None]
+                  + 4 * jnp.arange(NR, dtype=jnp.int32)[None, None, :]]
+        mlen_r = _first_diff(wiw[:, None, :NR], wjw_r, NR, 4 * NR)
+        mlen_r = jnp.where(ok, mlen_r, 0)
+        score_r = (mlen_r << 17) + cands_pos
+        b1 = jnp.argmax(score_r, axis=1)
+        score_r2 = jnp.where(
+            b1[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :],
+            -1, score_r)
+        b2 = jnp.argmax(score_r2, axis=1)
+        score_r3 = jnp.where(
+            b2[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :],
+            -1, score_r2)
+        b3 = jnp.argmax(score_r3, axis=1)
+        pick = jnp.stack([b1, b2, b3], axis=1)                  # (N, 3)
+        cand2 = jnp.take_along_axis(cands_pos, pick, axis=1)
+        ok2 = jnp.take_along_axis(ok, pick, axis=1)
+        cj2 = jnp.maximum(cand2, 0)
+        wjw2 = W[cj2[:, :, None]
+                 + 4 * jnp.arange(NWIN, dtype=jnp.int32)[None, None, :]]
+        mlen2 = _first_diff(wiw[:, None, :], wjw2, NWIN, L_CMP)
+        mlen2 = jnp.where(ok2, mlen2, 0)
+        mlen2 = jnp.minimum(mlen2, nrem[:, None])
+        score2 = (mlen2 << 17) + cand2
+        bb = jnp.argmax(score2, axis=1)
+        l_best = jnp.take_along_axis(mlen2, bb[:, None], axis=1)[:, 0]
+        d_best = i_abs - jnp.take_along_axis(cand2, bb[:, None], axis=1)[:, 0]
+    else:
+        wjw = W[cj[:, :, None]
+                + 4 * jnp.arange(NWIN, dtype=jnp.int32)[None, None, :]]
+        mlen = _first_diff(wiw[:, None, :], wjw, NWIN, L_CMP)   # (N, k)
+        mlen = jnp.where(ok, mlen, 0)
+        # Don't run past the real end of the block.
+        mlen = jnp.minimum(mlen, nrem[:, None])
+        # Best candidate: longest match, then nearest (larger j).
+        score = (mlen << 17) + cands_pos
+        best = jnp.argmax(score, axis=1)
+        l_best = jnp.take_along_axis(mlen, best[:, None], axis=1)[:, 0]
+        d_best = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
 
     # Second phase: matches that hit the L_CMP scoring cap extend toward
     # the 258 limit with one more windowed compare (the ranking used capped

@@ -844,6 +844,36 @@ def _place_tile(buf, tile_out, base):
     return jax.lax.dynamic_update_slice(buf, tile_out[HALO:], (base,))
 
 
+def inflate_device_array_acc(data: bytes, index=None, start_bit: int = 0,
+                             mesh=None):
+    """Like inflate_device_array(verify=False) but ALSO returns the
+    device-resident (adler, crc) accumulators, so multi-member callers can
+    dispatch every member back-to-back and batch the verification fetches
+    at the end (each scalar fetch is a host round trip — tens of ms under
+    tenant contention). Returns (arr, total, adler_acc, crc_acc)."""
+    if index is None:
+        index = build_decode_index(data, start_bit)
+    total = int(index["total_out"])
+    if total == 0:
+        return None, 0, jnp.uint32(1), jnp.uint32(0)
+    tiles, outs, adler_acc, crc_acc, cfg = _run_tiles(data, index, mesh)
+    if len(tiles) == 1:
+        return outs[0][HALO:], total, adler_acc, crc_acc
+    # Each _place_tile writes a full cfg.tile_out-sized slice at tile.base;
+    # capacity-cut tiles (nseg/nsto/match cuts) leave used < tile_out, so
+    # the buffer must cover max(base) + tile_out — dynamic_update_slice
+    # CLAMPS out-of-range starts, which would silently shift the last
+    # write backwards over earlier tiles (ADVICE r4 high). Tiles are
+    # written in stream order, so each tile's garbage tail is overwritten
+    # by the next tile's full-width write; only the final tile's tail past
+    # `total` remains padding.
+    npad = 1 << int(np.ceil(np.log2(max(total, tiles[-1].base + cfg.tile_out))))
+    buf = jnp.zeros(npad, jnp.uint8)
+    for tile, out in zip(tiles, outs):
+        buf = _place_tile(buf, out, jnp.int32(tile.base))
+    return buf, total, adler_acc, crc_acc
+
+
 def inflate_device_array(data: bytes, index=None, start_bit: int = 0,
                          mesh=None, verify: bool = True):
     """Like inflate_device but returns (jax.Array uint8, total_out) without
@@ -851,27 +881,9 @@ def inflate_device_array(data: bytes, index=None, start_bit: int = 0,
     The returned array is padded; the first total_out bytes are the data."""
     if index is None:
         index = build_decode_index(data, start_bit)
-    total = int(index["total_out"])
-    if total == 0:
-        return None, 0
-    tiles, outs, adler_acc, crc_acc, cfg = _run_tiles(data, index, mesh)
-    if len(tiles) == 1:
-        if verify:
-            _verify_adler(index, adler_acc)
-        return outs[0][HALO:], total
-    # Each _place_tile writes a full cfg.tile_out-sized slice at tile.base;
-    # capacity-cut tiles (nseg/nsto cuts) leave used < tile_out, so the
-    # buffer must cover max(base) + tile_out — dynamic_update_slice CLAMPS
-    # out-of-range starts, which would silently shift the last write
-    # backwards over earlier tiles (ADVICE r4 high). Tiles are written in
-    # stream order, so each tile's garbage tail is overwritten by the next
-    # tile's full-width write; only the final tile's tail past `total`
-    # remains padding.
-    npad = 1 << int(np.ceil(np.log2(max(total, tiles[-1].base + cfg.tile_out))))
-    buf = jnp.zeros(npad, jnp.uint8)
-    for tile, out in zip(tiles, outs):
-        buf = _place_tile(buf, out, jnp.int32(tile.base))
-    if verify:
+    buf, total, adler_acc, _ = inflate_device_array_acc(data, index,
+                                                        start_bit, mesh)
+    if total and verify:
         _verify_adler(index, adler_acc)
     return buf, total
 
