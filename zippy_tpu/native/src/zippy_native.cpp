@@ -2537,7 +2537,13 @@ static void merge_and_plan(std::vector<uint32_t>& rtoks,
     out.emplace_back(a, b);
     ranges = std::move(out);
   };
-  merge_sweep();
+  // Light (BestSpeed) planning trusts the estimate end-to-end: the greedy
+  // phase above already merged every pair within kMergeSlack=512 estimated
+  // bits, so surviving boundaries are est-clear wins and the exact confirm
+  // (2-3 Kraft-approx builds at ~9 us each) only re-finds them — measured
+  // ~27 us of paper-100k.pdf's 350 us L1 budget for zero ratio change on
+  // the corpus. Quality tiers keep the exact sweep.
+  if (!light) merge_sweep();
   mstamp("msweep");
 
   // Split sweep: the cheap estimate ranks every candidate boundary inside a
@@ -2753,26 +2759,41 @@ static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
   // probes — insert-sparse sampling detected only repeats whose period is
   // ≡ 0 mod the stride (a >= 20 KiB random block repeated at any other
   // period was misclassified random and emitted STORED at every level).
-  // Coprime sparse grids: inserts at stride 5, probes at stride 13. For a
-  // repeat at ANY period P there is a probe position p ≡ 0 (mod 13) whose
-  // source p-P lands on the insert grid within lcm(5,13)=65 positions
+  // Coprime sparse grids: inserts at stride 11, probes at stride 19. For a
+  // repeat at ANY period P there is a probe position p ≡ 0 (mod 19) whose
+  // source p-P lands on the insert grid within lcm(11,19)=209 positions
   // (CRT, gcd=1 — the round-3 equal-stride sampler only caught periods
-  // ≡ 0 mod the stride), at ~28% of the every-position-insert cost.
-  uint16_t table[4096] = {0};
+  // ≡ 0 mod the stride), at ~14% of the every-position-insert cost.
+  // Entries carry a generation stamp so the 16 KiB table is memset once
+  // per THREAD, not per call (this path gates every block of every
+  // deflate call; randtest3-class inputs spend their whole budget here).
+  static thread_local uint32_t table[4096];
+  static thread_local uint32_t generation = 0;
+  auto next_gen = [&]() -> uint32_t {
+    if (++generation >= 0xFFFF) {  // stamp field wrapped (or first use)
+      memset(table, 0, sizeof(table));
+      generation = 1;
+    }
+    return generation << 16;
+  };
+  if (generation == 0) memset(table, 0, sizeof(table));
+  uint32_t gen = next_gen();
   size_t base = start;
   size_t next_ins = start;
-  for (size_t p = start; p + 4 <= end; p += 13) {
-    for (; next_ins < p; next_ins += 5) {
+  for (size_t p = start; p + 4 <= end; p += 19) {
+    for (; next_ins < p; next_ins += 11) {
       if (next_ins - base > 0xF000) {  // keep relative offsets in range
         base = next_ins;
-        memset(table, 0, sizeof(table));
+        gen = next_gen();
       }
       uint32_t vi = read32(src + next_ins);
-      table[(vi * 0x9E3779B1u) >> 20] = (uint16_t)(next_ins - base);
+      table[(vi * 0x9E3779B1u) >> 20] = gen | (uint32_t)(next_ins - base);
     }
     uint32_t v = read32(src + p);
     uint32_t h = (v * 0x9E3779B1u) >> 20;
-    size_t cand = base + table[h];
+    uint32_t e = table[h];
+    if ((e & 0xFFFF0000u) != gen) continue;  // stale entry
+    size_t cand = base + (e & 0xFFFF);
     if (cand < p && p - cand <= kWindow && read32(src + cand) == v)
       return false;  // found a sampled match: not random
   }
@@ -2782,24 +2803,29 @@ static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
   // subsample can't call it. Truly random input lands clearly >= 7.99
   // either way; compressible input clearly below — only the rare
   // near-threshold case pays both passes.
-  alignas(64) uint32_t h0[256] = {0}, h1[256] = {0};
+  alignas(64) uint32_t h0[256] = {0}, h1[256] = {0}, h2[256] = {0},
+                       h3[256] = {0};
   size_t i = start;
-  // One even and one odd offset per 4-byte group: offsets {0,2} were both
-  // even, so stride-2-structured data (16-bit samples with random high
-  // bytes and compressible low bytes) measured ~8 bits/byte and was
-  // misclassified random (ADVICE r4 medium).
-  for (; i + 4 <= end; i += 4) {
+  // Two even and two odd offsets per 8-byte group (the r3 {0,2} sampler
+  // was all-even, so stride-2-structured data — 16-bit samples with
+  // random high bytes and compressible low bytes — measured ~8 bits/byte
+  // and was misclassified random, ADVICE r4 medium). Four independent
+  // stripes keep the increment chains out of each other's
+  // store-to-load forwarding.
+  for (; i + 8 <= end; i += 8) {
     h0[src[i]]++;
     h1[src[i + 1]]++;
+    h2[src[i + 4]]++;
+    h3[src[i + 5]]++;
   }
-  size_t m = 2 * ((end - start) / 4);
+  size_t m = 4 * ((end - start) / 8);
   {
     double bits = 0;
     int distinct = 0;
     double dm = (double)m;
     double log2m = log2_int(m);
     for (int s = 0; s < 256; s++) {
-      uint32_t f = h0[s] + h1[s];
+      uint32_t f = h0[s] + h1[s] + h2[s] + h3[s];
       if (f) {
         bits += f * (log2m - log2_int(f));
         distinct++;
@@ -2809,18 +2835,24 @@ static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
     if (Hs >= 7.996) return true;
     if (Hs < 7.975) return false;
   }
-  alignas(64) uint32_t g0[256] = {0}, g1[256] = {0};
-  for (i = start; i + 4 <= end; i += 4) {
-    g0[src[i + 1]]++;
+  // Tier 2 completes the histogram with the offsets tier 1 skipped
+  // ({2,3,6,7}; tier 1 read {0,1,4,5}), plus the group tail.
+  alignas(64) uint32_t g0[256] = {0}, g1[256] = {0}, g2[256] = {0},
+                       g3[256] = {0};
+  for (i = start; i + 8 <= end; i += 8) {
+    g0[src[i + 2]]++;
     g1[src[i + 3]]++;
+    g2[src[i + 6]]++;
+    g3[src[i + 7]]++;
   }
-  for (i = start + 4 * ((end - start) / 4); i < end; i++) g0[src[i]]++;
+  for (i = start + 8 * ((end - start) / 8); i < end; i++) g0[src[i]]++;
   double bits = 0;
   int distinct = 0;
   double dn = (double)n;
   double log2n = log2_int(n);
   for (int s = 0; s < 256; s++) {
-    uint32_t f = h0[s] + h1[s] + g0[s] + g1[s];
+    uint32_t f = h0[s] + h1[s] + h2[s] + h3[s] + g0[s] + g1[s] + g2[s] +
+                 g3[s];
     if (f) {
       bits += f * (log2n - log2_int(f));
       distinct++;

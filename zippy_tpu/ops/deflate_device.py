@@ -908,7 +908,11 @@ def _pack_tokens_batch(toks, ll_lens, ll_codes, d_lens, d_codes):
 # instead of 256. Intermediates are (G, N, k, L_CMP) — the cap G*k <= 64
 # keeps that under ~256 MB of HBM at any level's k.
 def _group_sizes(k: int) -> tuple[int, ...]:
-    top = max(1, 64 // k)
+    # Cap at 8 blocks per dispatch: 32-block L1 groups thrash HBM — the
+    # r5 chip probe measured 149 ms/block at g=32 vs 95.9 at g=8 (108.9
+    # at g=4, so 8 is the sweet spot between working-set pressure and
+    # dispatch amortization).
+    top = max(1, min(8, 64 // k))
     sizes = sorted({top, max(1, top // 4), 1}, reverse=True)
     return tuple(sizes)
 
