@@ -343,3 +343,30 @@ def test_cfg_l_corrupt_never_silent():
         decoded += 1
     # the uncorrupted stream decodes and verifies at CFG_L
     assert idev.inflate_device(bytes(blob), idx0) == data
+
+
+def test_device_indexed_multi_chunk_sidecar():
+    """An index too big for one FEXTRA (>60 KB deflated) must split across
+    multiple sidecar members and reassemble; the bytes path walks the same
+    stream."""
+    from zippy_tpu import gzip_format as gf
+
+    data = (_fixture("urls.10K") * 8)[: 4 << 20]
+    blob = gf.compress_device_indexed(data, 6, member_size=4 << 20)
+    # count sidecars: members after the first data member with a ZX field
+    import struct
+    chunks = 0
+    pos = 0
+    while pos < len(blob):
+        mlen = gf._indexed_member_length(blob, pos)
+        assert mlen is not None
+        if gf._member_zx(blob, pos) is not None:
+            chunks += 1
+        pos += mlen
+    assert chunks >= 2, chunks  # the index really spans sidecars
+    assert gf.uncompress_device(blob) == data          # bytes path
+    parts = gf.uncompress_device(blob, array=True)     # array path
+    got = b"".join(np.asarray(a)[:t].tobytes() for a, t in parts)
+    assert got == data
+    import gzip as _g
+    assert _g.decompress(blob) == data                 # RFC ground truth

@@ -15,7 +15,12 @@ _os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 from . import profiling
 from .api import compress, uncompress
-from .gzip_format import compress_indexed, uncompress_parallel
+from .gzip_format import (
+    compress_device_indexed,
+    compress_indexed,
+    uncompress_device,
+    uncompress_parallel,
+)
 from .tarballs import extract_all as extract_all_tarball
 from .tarballs_v1 import Tarball, TarballEntry, create_tarball
 from .ziparchives import (
@@ -67,6 +72,8 @@ __all__ = [
     "profiling",
     "compress_indexed",
     "uncompress_parallel",
+    "compress_device_indexed",
+    "uncompress_device",
     "ZipArchiveReader",
     "open_zip_archive",
     "create_zip_archive",
