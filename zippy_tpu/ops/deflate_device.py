@@ -10,7 +10,13 @@ data-parallel vector work that XLA maps onto the TPU VPU:
    occurrences (what a chain walk of depth k visits). Match lengths for all
    (position, candidate) pairs are scored at once with a windowed vector
    compare (the batched analogue of determineMatchLength,
-   reference internal.nim:251-270).
+   reference internal.nim:251-270). Known quality bound: k <= 32 recency
+   candidates vs zlib's up-to-4096 chain walk — on data with a short
+   period nested inside a longer one (e.g. a 6-periodic pattern repeating
+   every 100 bytes), the long-period source hides behind the short-period
+   family and only the deep walk finds the 258-byte matches
+   (test_device_encoder_pathological_shapes documents the case; the
+   native hash-chain encoder matches zlib there).
 
 2. Token selection — greedy parsing is a sequential scan in the reference;
    here the token cover is the set of positions reachable from 0 through
