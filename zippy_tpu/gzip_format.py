@@ -334,6 +334,7 @@ def serialize_index(index) -> bytes:
         cols.append(np.diff(seg[:, 2], prepend=0).astype("<u1").tobytes())
         cols.append(seg[:, 3].astype("<u2").tobytes())
         cols.append(seg[:, 4].astype("<u2").tobytes())
+        cols.append(seg[:, 5].astype("<u2").tobytes())
     if nsto:
         cols.append(np.diff(sto[:, 0], prepend=0).astype("<u4").tobytes())
         cols.append(np.diff(sto[:, 1], prepend=0).astype("<u4").tobytes())
@@ -361,13 +362,14 @@ def deserialize_index(blob: bytes) -> dict:
         p += a.nbytes
         return a
 
-    seg = np.zeros((nseg, 5), np.int64)
+    seg = np.zeros((nseg, 6), np.int64)
     if nseg:
         seg[:, 0] = np.cumsum(col("<u4", nseg))
         seg[:, 1] = np.cumsum(col("<u4", nseg))
         seg[:, 2] = np.cumsum(col("<u1", nseg).astype(np.int64))
         seg[:, 3] = col("<u2", nseg)
         seg[:, 4] = col("<u2", nseg)
+        seg[:, 5] = col("<u2", nseg)
     sto = np.zeros((nsto, 3), np.int64)
     if nsto:
         sto[:, 0] = np.cumsum(col("<u4", nsto))

@@ -215,8 +215,10 @@ def zlib_compress(data: bytes, level: int) -> bytes:
 def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
     """One-time decode-index scan of a raw DEFLATE stream (the host half of
     the device-parallel inflate; see ops/inflate_device.py). Returns numpy
-    arrays: segments [nseg,5] (bit_offset, out_offset, block_id, ntok,
-    match_bytes — the compaction-capacity input for the device resolver),
+    arrays: segments [nseg,6] (bit_offset, out_offset, block_id, ntok,
+    match_bytes — the compaction-capacity input for the device resolver —
+    and the segment's max copy-nesting depth, which sizes each tile's
+    pointer-doubling trip count),
     stored [nsto,3] (src_byte, out_offset, len), block_lens [nblk,318]
     (litlen 288 + dist 30 code lengths), total_out, end_bit, max_depth
     (exact per-byte copy-nesting depth over a 32 KiB ring, saturating at
@@ -227,7 +229,7 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
     seg_cap = max(1024, 2 * len(data) // max(every, 1))
     sto_cap, blk_cap = 256, 256
     while True:
-        seg = bytearray(seg_cap * 40)
+        seg = bytearray(seg_cap * 48)
         sto = bytearray(sto_cap * 24)
         lens = bytearray(blk_cap * 318)
         counts = bytearray(7 * 8)
@@ -237,7 +239,7 @@ def inflate_scan(data: bytes, start_bit: int = 0, every: int = 256) -> dict:
             nseg, nsto, nblk = int(c[0]), int(c[1]), int(c[2])
             return {
                 "segments": np.frombuffer(seg, dtype=np.int64)
-                            .reshape(-1, 5)[:nseg].copy(),
+                            .reshape(-1, 6)[:nseg].copy(),
                 "stored": np.frombuffer(sto, dtype=np.int64)
                           .reshape(-1, 3)[:nsto].copy(),
                 "block_lens": np.frombuffer(lens, dtype=np.uint8)

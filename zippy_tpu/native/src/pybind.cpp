@@ -403,7 +403,7 @@ PyObject* py_uncompress_auto(PyObject* self, PyObject* const* args,
 
 // inflate_scan(data, start_bit, every, seg_buf, sto_buf, lens_buf, counts_buf)
 //   -> rc (0 ok, -1 malformed, -2 caps exceeded — counts filled, retry sized).
-// Buffers are writable bytes-like (bytearray): seg int64[cap][5],
+// Buffers are writable bytes-like (bytearray): seg int64[cap][6],
 // sto int64[cap][3], lens uint8[cap][318], counts int64[6]. The decode-index
 // scan for device-parallel inflate (ops/inflate_device.py).
 PyObject* py_inflate_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
@@ -441,7 +441,7 @@ PyObject* py_inflate_scan(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
     Py_BEGIN_ALLOW_THREADS;
     rc = zt_inflate_scan(
         src.data(), src.len(), (size_t)start_bit, (uint32_t)every,
-        (int64_t*)seg.buf, (size_t)seg.len / (5 * sizeof(int64_t)),
+        (int64_t*)seg.buf, (size_t)seg.len / (6 * sizeof(int64_t)),
         (int64_t*)sto.buf, (size_t)sto.len / (3 * sizeof(int64_t)),
         (uint8_t*)lens.buf, (size_t)lens.len / 318, (int64_t*)counts.buf);
     Py_END_ALLOW_THREADS;

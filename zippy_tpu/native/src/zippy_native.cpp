@@ -4016,16 +4016,17 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       if (sym == 256) break;
       if (tok_in_seg == every) {
         if (nseg < seg_cap) {
-          seg[nseg * 5 + 0] = (int64_t)tok_bit;
-          seg[nseg * 5 + 1] = (int64_t)op;
-          seg[nseg * 5 + 2] = (int64_t)block_id;
-          seg[nseg * 5 + 3] = 0;
-          seg[nseg * 5 + 4] = 0;  // match output bytes (device compaction cap)
+          seg[nseg * 6 + 0] = (int64_t)tok_bit;
+          seg[nseg * 6 + 1] = (int64_t)op;
+          seg[nseg * 6 + 2] = (int64_t)block_id;
+          seg[nseg * 6 + 3] = 0;
+          seg[nseg * 6 + 4] = 0;  // match output bytes (device compaction cap)
+          seg[nseg * 6 + 5] = 0;  // max copy-nesting depth in the segment
         }
         nseg++;
         tok_in_seg = 0;
       }
-      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 5 + 3]++;
+      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 6 + 3]++;
       tok_in_seg++;
       if (sym < 256) {
         depth_win[op & (kWindow - 1)] = 0;  // literal: depth 0
@@ -4040,7 +4041,7 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
       if (dsym < 0 || dsym > 29) return ZT_ERR_MALFORMED;
       uint32_t distance = kBaseDists[dsym] + br.bits(kDistExtra[dsym]);
       if (distance > op) return ZT_ERR_MALFORMED;
-      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 5 + 4] += (int64_t)length;
+      if (nseg - 1 < seg_cap) seg[(nseg - 1) * 6 + 4] += (int64_t)length;
       {
         // With the device resolver's closed-form overlap handling, byte
         // o of the span hops once to source byte s_lo + (o mod n_src), so
@@ -4056,6 +4057,12 @@ int64_t inflate_scan_impl(const uint8_t* src, size_t src_len, size_t start_bit,
           uint16_t d16 = (uint16_t)std::min<uint32_t>(d, 0xFFFF);
           depth_win[o & (kWindow - 1)] = d16;
           if ((int32_t)d16 > max_depth) max_depth = d16;
+          // Per-segment max depth: tiles size their pointer-doubling trip
+          // count from the deepest chain they actually contain (the 32 KiB
+          // halo truncates cross-tile chains, so the global max is a loose
+          // overestimate for most tiles).
+          if (nseg - 1 < seg_cap && (int64_t)d16 > seg[(nseg - 1) * 6 + 5])
+            seg[(nseg - 1) * 6 + 5] = (int64_t)d16;
           // Sequential copy semantics (read-before-write handles dist ==
           // kWindow ring aliasing: the source slot still holds its byte).
           uint8_t v = byte_win[(o - distance) & (kWindow - 1)];

@@ -619,6 +619,7 @@ class _Tile(NamedTuple):
     t1: int
     b0: int            # block-id range [b0, b1)
     b1: int
+    depth: int         # max copy-nesting depth among the tile's segments
 
 
 def _plan_tiles(index, cfg: TileConfig) -> list[_Tile]:
@@ -656,6 +657,12 @@ def _plan_tiles(index, cfg: TileConfig) -> list[_Tile]:
     # slots; the scan's per-segment match-byte counts bound each tile.
     ent_match = np.concatenate([seg[:, 4], np.zeros(nsto, np.int64)])[order]
     cum_match = np.cumsum(ent_match)
+    # Per-tile depth: each tile sizes its own pointer-doubling trip count
+    # from the deepest chain it contains (the halo truncates cross-tile
+    # chains, so the stream-global max is a loose overestimate for most
+    # tiles). Stored entities contribute depth 0.
+    ent_depth = np.concatenate([seg[:, 5], np.zeros(nsto, np.int64)])[order] \
+        if seg.shape[1] > 5 else np.full(n_e, int(1) << 62, np.int64)
     cum_seg = np.cumsum(ent_is_seg)
     cum_sto = np.cumsum(~ent_is_seg)
     # Running max block id (block ids are nondecreasing over segments but
@@ -691,7 +698,9 @@ def _plan_tiles(index, cfg: TileConfig) -> list[_Tile]:
         t1 = int(cum_sto[j - 1])
         b1 = int(blk_ffill[j - 1]) + 1 if s1 > s0 else first_blk + 1
         used = int(ent_end_out[j - 1]) - base
-        tiles.append(_Tile(base, used, w0, s0, s1, t0, t1, first_blk, b1))
+        depth = int(ent_depth[i:j].max()) if j > i else 0
+        tiles.append(_Tile(base, used, w0, s0, s1, t0, t1, first_blk, b1,
+                           depth))
         base += used
         i = j
     return tiles
@@ -701,15 +710,21 @@ def _pick_cfg(total_out: int) -> TileConfig:
     return CFG_S if total_out <= 8 * CFG_S.tile_out else CFG_L
 
 
-def _nrounds(index, cfg: TileConfig) -> int:
-    """Pointer-doubling trip count: exact log2 of the scanner's max copy
-    nesting depth; the halo bounds any chain inside one tile, so the cap is
-    log2(tokens per tile). Fed to the kernel as a DYNAMIC loop bound."""
+def _nrounds_for_depth(depth: int, cfg: TileConfig) -> int:
+    """Pointer-doubling trip count for one tile: exact log2 of the deepest
+    chain it contains; the halo bounds any chain inside one tile, so the
+    cap is log2(tokens per tile). Fed to the kernel as a DYNAMIC loop
+    bound (same executable for any depth)."""
     cap = int(np.ceil(np.log2(cfg.nseg * _EVERY)))
-    depth = int(index.get("max_depth", 0))
     if depth >= 0xFFFF:  # scanner's u16 depth saturated
         return cap
     return max(1, min(cap, int(np.ceil(np.log2(max(depth, 2))))))
+
+
+def _nrounds(index, cfg: TileConfig) -> int:
+    """Stream-global trip count (kept for probes/benches; the decode path
+    uses the per-tile depth from _plan_tiles)."""
+    return _nrounds_for_depth(int(index.get("max_depth", 0)), cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -789,7 +804,6 @@ def _run_tiles(data, index, mesh=None):
     cfg = _pick_cfg(int(index["total_out"]))
     tiles = _plan_tiles(index, cfg)
     k = int(index["every"])
-    nrounds = _nrounds(index, cfg)
 
     sharding = None
     if mesh is not None:
@@ -806,7 +820,8 @@ def _run_tiles(data, index, mesh=None):
         crc_acc = jax.device_put(crc_acc, sharding)
     outs = []
     for tile in tiles:
-        pack = _tile_pack(data, index, tile, cfg, nrounds)
+        pack = _tile_pack(data, index, tile, cfg,
+                          _nrounds_for_depth(tile.depth, cfg))
         pack_d = jnp.asarray(pack)
         if sharding is not None:
             pack_d = jax.device_put(pack_d, sharding)
