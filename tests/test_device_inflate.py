@@ -370,3 +370,26 @@ def test_device_indexed_multi_chunk_sidecar():
     assert got == data
     import gzip as _g
     assert _g.decompress(blob) == data                 # RFC ground truth
+
+
+def test_uncompress_device_engine_multi_member():
+    """uncompress(engine_name='device') must decode ALL gzip members
+    (CPython concatenation semantics), and transparently go scan-free on
+    indexed streams."""
+    import gzip as _g
+    from unittest import mock
+
+    import zippy_tpu
+    from zippy_tpu import gzip_format as gf
+
+    a = _fixture("alice29.txt")
+    b = _fixture("geo.protodata")
+    blob = (zippy_tpu.compress(a, 6, zippy_tpu.dfGzip)
+            + zippy_tpu.compress(b, 6, zippy_tpu.dfGzip))
+    assert _g.decompress(blob) == a + b
+    assert zippy_tpu.uncompress(blob, engine_name="device") == a + b
+    # indexed stream: engine=device must not scan
+    iblob = gf.compress_device_indexed(a, 6, member_size=1 << 17)
+    with mock.patch.object(idev, "build_decode_index",
+                           side_effect=AssertionError("scanned!")):
+        assert zippy_tpu.uncompress(iblob, engine_name="device") == a

@@ -127,7 +127,7 @@ def uncompress(
             else:
                 raise ZippyError("Unable to detect compressed data format")
         if data_format == dfGzip:
-            return inflate_device.uncompress_gzip_device(data)
+            return gzip_format.uncompress_gzip_device_all(data)
         if data_format == dfZlib:
             return inflate_device.uncompress_zlib_device(data)
         if data_format == dfDeflate:

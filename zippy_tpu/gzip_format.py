@@ -532,3 +532,33 @@ def uncompress_device(src: bytes, array: bool = False):
             out.append((arr, total))
         return out
     return b"".join(parts)
+
+
+def uncompress_gzip_device_all(src: bytes) -> bytes:
+    """Device-decode a whole gzip stream: every member (CPython
+    concatenation semantics — uncompress_gzip_device alone decodes ONE
+    member), using embedded ZT2 indexes when the stream carries them
+    (compress_device_indexed output -> zero host scanning)."""
+    from .ops import inflate_device as idev
+
+    if (_indexed_member_length(src, 0) is not None
+            and _member_zx(src, 0) is None):
+        # Walk the ZT index; if any data member is followed by ZX
+        # sidecars, the indexed path decodes scan-free.
+        pos = _indexed_member_length(src, 0)
+        if pos is not None and pos < len(src) and \
+                _member_zx(src, pos) is not None:
+            return uncompress_device(src)
+    parts = []
+    pos = 0
+    while pos < len(src):
+        if _is_zero_padding(src, pos):
+            break
+        member = bytes(src[pos:])
+        hdr = parse_header(member)
+        index = idev.build_decode_index(member, hdr["data_offset"] * 8)
+        parts.append(idev.uncompress_gzip_device(member, index))
+        pos += (int(index["end_bit"]) + 7) // 8 + 8
+    if not parts:
+        raise ZippyError("Invalid gzip data")
+    return b"".join(parts)
