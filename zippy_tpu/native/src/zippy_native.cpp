@@ -2767,17 +2767,27 @@ static bool block_is_random(const uint8_t* src, size_t start, size_t end) {
   // Entries carry a generation stamp so the 16 KiB table is memset once
   // per THREAD, not per call (this path gates every block of every
   // deflate call; randtest3-class inputs spend their whole budget here).
-  static thread_local uint32_t table[4096];
-  static thread_local uint32_t generation = 0;
+  // TLS bases are hoisted into locals ONCE: in a dlopen'd shared object
+  // thread_local uses general-dynamic TLS, and a per-access __tls_get_addr
+  // in the ~2K-iteration probe loop would double this function's cost.
+  static thread_local uint32_t table_tls[4096];
+  static thread_local uint32_t generation_tls = 0;
+  uint32_t* const table = table_tls;
+  uint32_t generation = generation_tls;
   auto next_gen = [&]() -> uint32_t {
     if (++generation >= 0xFFFF) {  // stamp field wrapped (or first use)
-      memset(table, 0, sizeof(table));
+      memset(table, 0, 4096 * sizeof(uint32_t));
       generation = 1;
     }
     return generation << 16;
   };
-  if (generation == 0) memset(table, 0, sizeof(table));
+  if (generation == 0) memset(table, 0, 4096 * sizeof(uint32_t));
   uint32_t gen = next_gen();
+  struct GenSave {
+    uint32_t& tls;
+    uint32_t& cur;
+    ~GenSave() { tls = cur; }
+  } gen_save{generation_tls, generation};
   size_t base = start;
   size_t next_ins = start;
   for (size_t p = start; p + 4 <= end; p += 19) {
