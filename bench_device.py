@@ -13,7 +13,7 @@ between minutes. Every row is the MIN over reps spread across
 sleep-separated batches; never average. Do not run CPU-heavy local jobs
 concurrently (the 2-core client starves and inflates every sample).
 
-Writes BENCH_DEVICE_r4.json (the committed artifact) and prints one JSON
+Writes BENCH_DEVICE_r5.json (the committed artifact) and prints one JSON
 line per metric. Each kernel row carries a measured-vs-roofline field;
 roofline models are stated inline where computed.
 
@@ -296,9 +296,9 @@ def main() -> None:
     # ------------------------------------------------------------------
     from zippy_tpu import gzip_format as gf
 
-    src8 = (urls * 12)[: 8 << 20]
-    iblob = gf.compress_device_indexed(src8, 6, member_size=2 << 20)
-    plain = gf.compress_indexed(src8, 6, member_size=2 << 20)
+    src8 = (urls * 24)[: 16 << 20]
+    iblob = gf.compress_device_indexed(src8, 6, member_size=8 << 20)
+    plain = gf.compress_indexed(src8, 6, member_size=8 << 20)
     parts = gf.uncompress_device(iblob, array=True)
     got = b"".join(np.asarray(a)[:t].tobytes() for a, t in parts)
     assert got == src8, "indexed device decode mismatch"
@@ -307,7 +307,7 @@ def main() -> None:
         return [a for a, _ in gf.uncompress_device(iblob, array=True)]
 
     dt = _bench(dec_indexed, reps=4, batches=2, spread_s=1.0)
-    rec("device_inflate_indexed_e2e_resident_8mib",
+    rec("device_inflate_indexed_e2e_resident_16mib",
         len(src8) / dt / 1e9, "GB/s",
         index_overhead_pct=round(
             100 * (len(iblob) - len(plain)) / len(plain), 1),
