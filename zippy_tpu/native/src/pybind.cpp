@@ -191,6 +191,25 @@ PyObject* py_deflate(PyObject*, PyObject* const* args, Py_ssize_t nargs) {
   long level = PyLong_AsLong(args[1]);
   if (level == -1 && PyErr_Occurred()) return nullptr;
   size_t cap = zt_deflate_bound(src.len());
+  // Small bounds: encode straight into the result PyBytes and shrink —
+  // pymalloc/realloc are warm at this size and it saves the scratch
+  // copy (the scratch exists for LARGE bounds, where a worst-case-sized
+  // fresh allocation means cold mmap pages).
+  if (cap <= (128u << 10)) {
+    PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)cap);
+    if (!out) return nullptr;
+    int64_t rc;
+    Py_BEGIN_ALLOW_THREADS;
+    rc = zt_deflate(src.data(), src.len(), (int)level,
+                    (uint8_t*)PyBytes_AS_STRING(out), cap);
+    Py_END_ALLOW_THREADS;
+    if (rc < 0) {
+      Py_DECREF(out);
+      return raise_err("deflate failed");
+    }
+    if (_PyBytes_Resize(&out, (Py_ssize_t)rc) < 0) return nullptr;
+    return out;
+  }
   if (cap <= kScratchMax) {
     std::vector<uint8_t>& buf = compress_scratch(cap);
     int64_t rc;
