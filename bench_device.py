@@ -223,7 +223,9 @@ def main() -> None:
         total = int(idx["total_out"])
         cfg = idev._pick_cfg(total)
         tiles = idev._plan_tiles(idx, cfg)
-        nrounds = idev._nrounds(idx, cfg)
+        # Per-tile trip count, as the real decode path uses (the halo
+        # truncates cross-tile chains, so each tile sizes its own rounds).
+        nrounds = idev._nrounds_for_depth(tiles[0].depth, cfg)
         k = int(idx["every"])
 
         # host scan cost (one-time per stream)
