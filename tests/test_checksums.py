@@ -89,3 +89,20 @@ def test_auto_routes_large_host_bytes_native(monkeypatch):
     # Explicit device engine still dispatches (and trips the stub).
     with pytest.raises(AssertionError):
         engine.crc32(data, engine="device")
+
+
+def test_crc32_mxu_bitplane_correct():
+    """The MXU bit-plane crc kernel is a documented performance dead end
+    (BENCH_DEVICE_r5: 0.674 vs 1.9 GB/s) but stays in the tree with its
+    measurements — keep it correct so the record stays honest."""
+    import zlib as _z
+
+    for n in (1 << 16, (1 << 20) + 0, 4 << 20, 8 << 20):
+        rng = np.random.default_rng(n)
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        import jax.numpy as jnp
+        raw = int(ck._crc32_raw_mxu(jnp.asarray(data)))
+        import zippy_tpu.ops.checksums as c
+        init = c.crc_shift_register(0xFFFFFFFF, n)
+        got = raw ^ init ^ 0xFFFFFFFF
+        assert got == _z.crc32(data.tobytes()), n

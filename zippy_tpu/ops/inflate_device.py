@@ -38,8 +38,10 @@ the device decodes the stream in FIXED-SHAPE TILES:
    row. Length/distance extra bits fold into the same 64-bit window.
 
 4. LZ resolution — tokens scatter a packed (dist, literal) payload at
-   their output start (ONE full-domain scatter); a log-depth pair scan
-   forward-fills span starts + payloads. Literal bytes are fixpoints and
+   their output start (ONE full-domain scatter); 9 shifted-select rounds
+   forward-fill span starts + payloads (fill distance is bounded by the
+   258-byte max span, and custom-combine associative_scan stalls the
+   remote TPU compiler for minutes — see _ffill_span). Literal bytes are fixpoints and
    cost nothing further. Match bytes COMPACT into a tile_out/2-capacity
    buffer (the planner cuts tiles on the scan's per-segment match-byte
    counts, so the capacity is guaranteed): compact-domain spans come from
@@ -48,10 +50,10 @@ the device decodes the stream in FIXED-SHAPE TILES:
    back once. Overlapping copies (dist < len) resolve in closed form
    src = span_start - dist + (offset mod dist), so doubling only hops
    across distinct tokens. Halo bytes are literal fixpoints, which bounds
-   every chain inside one tile; the doubling trip count comes from the
-   scanner's exact max-depth as a DYNAMIC fori_loop bound (one executable
-   for any depth). Stored spans copy via per-span masked dynamic slices
-   (no per-byte gather).
+   every chain inside one tile; each tile's doubling trip count comes
+   from the scanner's exact PER-SEGMENT max depth as a DYNAMIC fori_loop
+   bound (one executable for any depth). Stored spans copy via per-span
+   masked dynamic slices (no per-byte gather).
 
 Integrity: the host scan walks every output byte anyway (copy-depth
 tracking) and records the adler32 of the serial-decode output in the index;
