@@ -10,14 +10,13 @@ from __future__ import annotations
 from . import native
 from .common import ZippyError
 
-# Inputs below this size stay on the host: kernel dispatch + transfer
-# overhead dominates any device win. Measured basis (BENCH_DEVICE_r4.json):
-# tunnel upload ~2 GB/s bulk bandwidth with ~0.1-100 ms per-dispatch
-# latency (tenant-dependent); the native host codec runs at 20 GB/s
-# (checksums) / 0.35-2 GB/s (codec), so a host-resident buffer never wins
-# by crossing the link twice — "auto" routes host bytes native and device
-# arrays to the chip.
-DEVICE_MIN_BYTES = 1 << 20
+# Routing rationale (measured, BENCH_DEVICE_r5.json): tunnel upload ~2 GB/s
+# bulk with 0.1-100 ms per-dispatch latency (tenant-dependent), download
+# ~0.02-0.04 GB/s; the native host codec runs at 20 GB/s (checksums) /
+# 0.35-2 GB/s (codec). A host-resident buffer never wins by crossing the
+# link — "auto" routes host bytes native at EVERY size and device-resident
+# arrays to the chip. (The former DEVICE_MIN_BYTES threshold died with the
+# retracted r2 device-checksum numbers.)
 
 _ENGINES = ("auto", "native", "device")
 
