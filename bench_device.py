@@ -429,17 +429,25 @@ def main() -> None:
         prev_path = ARTIFACT if os.path.exists(ARTIFACT) else os.path.join(
             "/root/repo", ARTIFACT)
         with open(prev_path) as f:
-            prev = {r["metric"]: r for r in json.load(f)["results"]}
+            prev_rows = json.load(f)["results"]
+        prev = {r["metric"]: r for r in prev_rows}
+        this = {r["metric"]: r for r in results}
         merged = []
-        for row in results:
-            old = prev.get(row["metric"])
-            if old is not None:
-                better_old = (old["value"] > row["value"]
-                              if row["unit"] == "GB/s"
-                              else old["value"] < row["value"])
-                if better_old:
-                    row = old
-            merged.append(row)
+        # UNION of rows: keep previously-recorded metrics this run skipped
+        # (e.g. --kernels-only omits warmup/tunnel/warm-start rows).
+        for name in list(dict.fromkeys(
+                [r["metric"] for r in prev_rows]
+                + [r["metric"] for r in results])):
+            old, new = prev.get(name), this.get(name)
+            if old is None:
+                merged.append(new)
+            elif new is None:
+                merged.append(old)
+            else:
+                better_old = (old["value"] > new["value"]
+                              if new["unit"] == "GB/s"
+                              else old["value"] < new["value"])
+                merged.append(old if better_old else new)
     except Exception:
         pass
     artifact = {
